@@ -1,0 +1,143 @@
+"""Engine table schemas (SURVEY.md §1.3, FIXTURES.md §§1-2).
+
+One place for every StructType so tests, synth, and the crawl loop agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# canonical input (BASELINE.json input_hint, verbatim)
+PAGES_INPUT = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+FRONTIER = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("url_canon", StringType()),
+        StructField("url_hash", StringType()),  # sha1 hex, 40 chars
+        StructField("host", StringType()),
+        StructField("host_hash", LongType()),
+        StructField("depth", IntegerType()),
+        StructField("priority", DoubleType()),
+        StructField("discovered_ts", TimestampType()),
+        StructField("state", StringType()),  # pending|fetched|excluded|error
+        StructField("attempts", IntegerType()),
+        StructField("source_id", StringType()),
+        StructField("kind", StringType()),  # listing|content
+        StructField("listing_order", LongType()),  # position on its listing page
+    ]
+)
+
+SEEN = StructType([StructField("url_hash", StringType())])
+
+# fetched + extracted output (crawled_content ∪ content JSON files fused;
+# reference DDL: src/storage/MetadataDatabase.ts:34-44)
+PAGES_OUT = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("hash", StringType()),  # sha1(url) — ContentStore.ts:106
+        StructField("source", StringType()),
+        StructField("url", StringType()),
+        StructField("url_hash", StringType()),
+        StructField("host", StringType()),
+        StructField("host_hash", LongType()),
+        StructField("title", StringType()),
+        StructField("author", StringType()),
+        StructField("published_date", StringType()),  # ISO-8601 (reference TEXT)
+        StructField("content", StringType()),  # markdown
+        StructField("crawled_at", TimestampType()),
+        StructField("created_at", TimestampType()),
+        StructField("had_extraction_error", BooleanType()),
+    ]
+)
+
+SESSIONS = StructType(
+    [
+        StructField("id", StringType()),  # crawl-session-<epoch>
+        StructField("source_id", StringType()),
+        StructField("source_name", StringType()),
+        StructField("start_time", TimestampType()),
+        StructField("end_time", TimestampType()),
+        StructField("metadata", StringType()),  # JSON blob (CrawlMetadata)
+        StructField("stopped_reason", StringType()),
+    ]
+)
+
+SESSION_CONTENT = StructType(
+    [
+        StructField("session_id", StringType()),
+        StructField("content_id", LongType()),
+        StructField("processed_order", LongType()),
+        StructField("had_content_extraction_error", BooleanType()),
+    ]
+)
+
+METRICS = StructType(
+    [
+        StructField("session_id", StringType()),
+        StructField("round", IntegerType()),
+        StructField("partition_id", IntegerType()),
+        StructField("items_found", LongType()),
+        StructField("items_processed", LongType()),
+        StructField("duplicates_skipped", LongType()),
+        StructField("urls_excluded", LongType()),
+        StructField("total_filtered", LongType()),
+        StructField("contents_crawled", LongType()),
+        StructField("fetch_ms", DoubleType()),
+        StructField("parse_ms", DoubleType()),
+    ]
+)
+
+# per-field extraction stats (CrawlMetadata.fieldStats, types.ts:124-130)
+FIELD_STATS = StructType(
+    [
+        StructField("session_id", StringType()),
+        StructField("round", IntegerType()),
+        StructField("stage", StringType()),  # listing|content
+        StructField("field_name", StringType()),
+        StructField("success_count", LongType()),
+        StructField("total_attempts", LongType()),
+        StructField("is_optional", BooleanType()),
+        StructField("missing_items", ArrayType(LongType())),
+    ]
+)
+
+# intermediate: one extracted listing item (pre-validation)
+LISTING_ITEM = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("title", StringType()),
+        StructField("author", StringType()),
+        StructField("published_raw", StringType()),
+        StructField("excluded", BooleanType()),
+        StructField("valid", BooleanType()),
+        StructField("reject_reason", StringType()),
+        StructField("item_index", IntegerType()),  # 0-based within page
+    ]
+)
+
+ROBOTS = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("disallow", ArrayType(StringType())),
+    ]
+)

@@ -1,0 +1,115 @@
+"""Unit invariants ported from the reference's pure-function tests
+(SURVEY.md §5: date table, whitespace table, sha1, url resolution, dedup)."""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from ethos_spark.extraction.html import normalize_ws, parse_html
+from ethos_spark.functions.datefns import (
+    DateParseError,
+    parse_published_date,
+    parse_published_date_or_none,
+)
+from ethos_spark.functions.urlfns import (
+    canonicalize_url,
+    is_hash_valid,
+    resolve_absolute_url,
+    sha1_hex,
+)
+
+NOW = datetime(2025, 7, 10, 15, 30, tzinfo=timezone.utc)
+
+
+# FIXTURES.md §5 / reference src/tests/utils/date.test.ts:6-58
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("July 10, 2025", "2025-07-10T00:00:00.000Z"),
+        ("  July 10, 2025  ", "2025-07-10T00:00:00.000Z"),
+        ("Published July 10, 2025", "2025-07-10T00:00:00.000Z"),
+        ("Posted on May 30, 2025", "2025-05-30T00:00:00.000Z"),
+        ("On May 30, 2025", "2025-05-30T00:00:00.000Z"),
+        ("2025-07-10", "2025-07-10T00:00:00.000Z"),
+        ("10 July 2025", "2025-07-10T00:00:00.000Z"),
+        ("3 July 2025", "2025-07-03T00:00:00.000Z"),
+        ("2025-07-25T12:00:00-07:00", "2025-07-25T19:00:00.000Z"),
+        ("2025-07-25T12:00:00Z", "2025-07-25T12:00:00.000Z"),
+        ("published   July  10,   2025", "2025-07-10T00:00:00.000Z"),
+    ],
+)
+def test_date_parse_table(raw, expected):
+    assert parse_published_date(raw, NOW) == expected
+
+
+@pytest.mark.parametrize("raw", ["not a date", "", None, "July 45, 2025", "Smarch 1, 2025"])
+def test_date_parse_errors(raw):
+    with pytest.raises(DateParseError):
+        parse_published_date(raw, NOW)
+    assert parse_published_date_or_none(raw, NOW) is None
+
+
+def test_date_relative_with_injected_clock():
+    assert parse_published_date("today", NOW) == "2025-07-10T15:30:00.000Z"
+    assert parse_published_date("yesterday", NOW) == "2025-07-09T15:30:00.000Z"
+    assert parse_published_date("Posted on today", NOW) == "2025-07-10T15:30:00.000Z"
+
+
+# reference src/tests/crawlers/extractors/BrowserFieldExtractor.whitespace.test.ts:6-41
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("  Hello    World  \n  \t  Test  ", "Hello World Test"),
+        ("a b", "a b"),  # \s matches NBSP in JS and Python re
+        ("", None),
+        ("   \n\t  ", None),
+        (None, None),
+        ("single", "single"),
+    ],
+)
+def test_whitespace_normalize(raw, expected):
+    assert normalize_ws(raw) == expected
+
+
+# reference src/utils/hash.ts (sha1 of URL) — byte parity with node crypto
+def test_sha1_parity():
+    assert sha1_hex("") == "da39a3ee5e6b4b0d3255bfef95601890afd80709"
+    assert sha1_hex("abc") == "a9993e364706816aba3e25717850c26c9cd0d89d"
+    assert is_hash_valid(sha1_hex("x"))
+    assert not is_hash_valid("zz")
+    assert not is_hash_valid(None)
+
+
+# reference src/utils/url.ts
+def test_url_resolution():
+    assert resolve_absolute_url("https://a.b/c", "https://x.y") == "https://a.b/c"
+    assert (
+        resolve_absolute_url("/p/q", "https://a.b/list/1") == "https://a.b/p/q"
+    )
+    assert (
+        resolve_absolute_url("p2", "https://a.b/list/1") == "https://a.b/list/p2"
+    )
+    with pytest.raises(ValueError):
+        resolve_absolute_url("notaurl", "alsonotaurl")
+
+
+def test_canonicalize_url():
+    assert (
+        canonicalize_url("HTTPS://News.Example.ORG:443/x?b=2&a=1#frag")
+        == "https://news.example.org/x?a=1&b=2"
+    )
+    assert canonicalize_url("http://h.example.com") == "http://h.example.com/"
+    assert canonicalize_url("http://h.example.com:8080/p") == "http://h.example.com:8080/p"
+
+
+def test_html_selector_engine():
+    root = parse_html(
+        '<div id="main"><header><h1>T</h1></header>'
+        '<div class="a b"><a href="/x" disabled>l</a></div>'
+        "<ul><li>1</li><li>2</li></ul></div>"
+    )
+    assert root.query_selector("#main header h1").text_content == "T"
+    assert root.query_selector(".a.b > a").get("href") == "/x"
+    assert root.query_selector("[disabled]") is not None
+    assert len(root.query_selector_all("ul li")) == 2
+    assert root.query_selector(".missing") is None
