@@ -1,0 +1,91 @@
+"""Fetch stage: attach page bytes to scheduled frontier rows.
+
+The reference fetches with a headless browser (BrowserHandler.ts:13-68);
+no network exists in this sandbox, so the default fetcher resolves URLs
+against the synthetic corpus table — the same join shape a WARC-backed
+fetch would use at 100 TB (url-keyed lookup into the pages store). A real
+HTTP fetcher slots in behind the same interface as a ``mapInPandas``
+stage over host-partitioned batches (SURVEY.md §7.3 "No real network").
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator, Protocol
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+class Fetcher(Protocol):
+    def fetch(self, candidates: DataFrame) -> DataFrame:
+        """candidates (must contain ``url``) → same rows + ``html`` binary
+        (NULL = fetch failure) + ``fetch_ms`` double per-row amortized."""
+        ...
+
+
+class CorpusFetcher:
+    """Deterministic lookup into a corpus DataFrame (url, html).
+
+    The join broadcasts the *candidate* side when it is the small side of
+    the round (typical: thousands of candidates vs a huge corpus) so the
+    corpus scan stays partition-local and prunes to the html column only.
+    """
+
+    def __init__(self, corpus: DataFrame, broadcast_candidates: bool = True):
+        self._corpus = corpus.select("url", "html")
+        self._broadcast = broadcast_candidates
+
+    def fetch(self, candidates: DataFrame) -> DataFrame:
+        cand = candidates
+        if self._broadcast:
+            # inner-plan hint: corpus ⋈ broadcast(candidates) avoids
+            # shuffling the corpus; left join keeps fetch-miss rows (NULL html)
+            hits = self._corpus.join(F.broadcast(cand.select("url").distinct()), "url")
+            out = cand.join(hits, "url", "left")
+        else:
+            out = cand.join(self._corpus, "url", "left")
+        return out.withColumn("fetch_ms", F.lit(0.0))
+
+
+class HttpFetcher:
+    """Real-network fetcher skeleton (NOT usable in this sandbox: no network,
+    no HTTP client beyond stdlib). Kept to pin the production shape: an
+    Arrow-batched ``mapInPandas`` over host-partitioned candidates, one
+    session per host per partition, politeness delay between requests."""
+
+    def __init__(self, timeout_sec: float = 60.0, delay_sec: float = 1.0):
+        self.timeout_sec = timeout_sec
+        self.delay_sec = delay_sec
+
+    def fetch(self, candidates: DataFrame) -> DataFrame:
+        timeout, delay = self.timeout_sec, self.delay_sec
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import urllib.request
+
+            for pdf in batches:
+                htmls, times = [], []
+                for url in pdf["url"]:
+                    t0 = time.monotonic()
+                    try:
+                        with urllib.request.urlopen(url, timeout=timeout) as r:
+                            htmls.append(r.read())
+                    except Exception:
+                        htmls.append(None)
+                    times.append((time.monotonic() - t0) * 1000.0)
+                    time.sleep(delay)
+                pdf = pdf.copy()
+                pdf["html"] = htmls
+                pdf["fetch_ms"] = times
+                yield pdf
+
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            candidates.schema.fields
+            + [T.StructField("html", T.BinaryType()),
+               T.StructField("fetch_ms", T.DoubleType())]
+        )
+        return candidates.mapInPandas(run, schema)

@@ -1,0 +1,547 @@
+"""The crawl engine: a driver loop of frontier ROUNDS, each round one
+declarative DataFrame DAG (SURVEY.md §3.1 "Spark design"):
+
+    frontier scan → politeness top-k per host (window) → anti-join seen
+    → fetch (host-partitioned, hot hosts salted) → extract (Arrow UDF)
+    → validate/quarantine → append pages/lineage/metrics, replace frontier
+    → snapshot commit
+
+One round is the distributed analogue of one listing-page iteration of the
+reference loop (ArticleListingCrawler.ts:247-340): every active host
+advances one listing page per round, and that page's content items are
+fetched within the same round — which is exactly what makes the per-host
+``processed_order`` sequence reproduce the reference's (W1).
+
+Counter semantics are reproduced from processPageItems
+(ArticleListingCrawler.ts:41-104) and MetadataTracker; stop conditions are
+the reference enum (MetadataTracker.ts:32-37) evaluated per host.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ethos_spark import schemas
+from ethos_spark.catalog import Warehouse
+from ethos_spark.crawl.dedup import BloomFilter, anti_join_seen, dedup_within_batch
+from ethos_spark.crawl.ordering import assign_sequential_order
+from ethos_spark.crawl.politeness import politeness_topk, robots_gate, salt_hot_hosts
+from ethos_spark.extraction.content import extract_content_stage
+from ethos_spark.extraction.listing import extract_listing_stage
+from ethos_spark.functions.datefns import parse_published_date_or_none
+from ethos_spark.sources.config import SourceConfig
+
+
+@dataclass
+class CrawlOptions:
+    max_pages: int | None = None  # listing pages per host (reference maxPages)
+    stop_on_all_duplicates: bool = True  # types.ts:114-120 default true
+    skip_existing_urls: bool = True  # --recrawl ⇒ False (index.ts:39)
+    per_host_budget: int = 10_000  # content fetches per host per round (T4)
+    salt_factor: int = 8
+    hot_host_threshold: int = 2_000  # salt when a host exceeds this per round
+    bloom_fpp: float = 0.01
+    use_bloom_over: int = 100_000  # exact-only below this seen cardinality
+    round_delay_sec: float = 0.0  # politeness delay analogue (delaySec)
+    max_rounds: int = 10_000  # safety backstop
+
+
+@dataclass
+class CrawlSummary:
+    session_id: str
+    source_id: str
+    rounds: int = 0
+    items_processed: int = 0
+    duplicates_skipped: int = 0
+    urls_excluded: int = 0
+    robots_blocked: int = 0
+    total_filtered: int = 0
+    contents_crawled: int = 0
+    pages_processed: int = 0
+    listing_errors: int = 0
+    items_with_errors: int = 0
+    stopped_reason: str = ""
+    host_stops: dict[str, int] = field(default_factory=dict)  # reason → host count
+    wall_sec: float = 0.0
+
+    @property
+    def items_found(self) -> int:
+        # summaryBuilder.ts:26-29
+        return self.items_processed + self.duplicates_skipped + self.total_filtered
+
+    def to_json(self) -> str:
+        d = {k: v for k, v in self.__dict__.items()}
+        d["items_found"] = self.items_found
+        return json.dumps(d)
+
+
+# date parsing as an Arrow-batched UDF (strict parse, NULL quarantine);
+# explicit StringType: DDL-string parsing needs an active session at import
+from pyspark.sql.types import StringType as _StringType
+
+
+@F.pandas_udf(_StringType())
+def _parse_date_udf(raw):  # pd.Series -> pd.Series
+    return raw.map(lambda s: parse_published_date_or_none(s))
+
+
+class CrawlRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: Warehouse,
+        fetcher,
+        config: SourceConfig,
+        options: CrawlOptions | None = None,
+        robots: DataFrame | None = None,
+        start_time: datetime | None = None,
+    ):
+        self.spark = spark
+        self.wh = warehouse
+        self.fetcher = fetcher
+        self.config = config
+        self.opt = options or CrawlOptions()
+        self.robots = robots
+        self.start_time = start_time or datetime(2025, 7, 1, tzinfo=timezone.utc)
+        # session id format: MetadataTracker.ts:205-208
+        self.session_id = f"crawl-session-{int(self.start_time.timestamp())}"
+        self.summary = CrawlSummary(self.session_id, config.id)
+
+    # -- url helpers (Column expressions, JVM-side) -------------------------
+
+    @staticmethod
+    def _with_url_cols(df: DataFrame, url_col: str = "url") -> DataFrame:
+        """host / host_hash / url_hash as pure Column exprs. Canonical form
+        is approximated JVM-side (lowercase scheme+host, strip fragment);
+        query-param sorting is done by the listing extractor for discovered
+        urls — synthetic corpus urls carry no query strings."""
+        u = F.col(url_col)
+        no_frag = F.substring_index(u, "#", 1)
+        host = F.lower(F.regexp_extract(no_frag, r"^[a-zA-Z]+://([^/:]+)", 1))
+        scheme = F.lower(F.regexp_extract(no_frag, r"^([a-zA-Z]+)://", 1))
+        rest = F.regexp_replace(no_frag, r"^[a-zA-Z]+://[^/]+", "")
+        canon = F.concat(
+            scheme, F.lit("://"), host, F.when(rest == "", "/").otherwise(rest)
+        )
+        return (
+            df.withColumn("url_canon", canon)
+            .withColumn("url_hash", F.sha1(F.col("url_canon")))
+            .withColumn("host", host)
+            .withColumn("host_hash", F.xxhash64(host))
+        )
+
+    def seed(self, urls: list[str]) -> None:
+        """Install the seed list as round-0 frontier + empty state tables."""
+        df = self.spark.createDataFrame([(u,) for u in urls], "url string")
+        seeded = (
+            self._with_url_cols(df)
+            .withColumn("depth", F.lit(1))
+            .withColumn("priority", F.lit(0.0))
+            .withColumn("discovered_ts", F.lit(self.start_time))
+            .withColumn("state", F.lit("pending"))
+            .withColumn("attempts", F.lit(0))
+            .withColumn("source_id", F.lit(self.config.id))
+            .withColumn("kind", F.lit("listing"))
+            .withColumn("listing_order", F.lit(0).cast("long"))
+            .withColumn("title", F.lit(None).cast("string"))
+            .withColumn("author", F.lit(None).cast("string"))
+            .withColumn("published_date", F.lit(None).cast("string"))
+        )
+        self.wh.replace("frontier_pending", seeded.select(*schemas.FRONTIER.names))
+        for t, s in [
+            ("seen_session", schemas.SEEN),
+            ("host_state", "host string, pages_processed long, stopped_reason string"),
+        ]:
+            self.wh.replace(t, self.spark.createDataFrame([], s))
+        self.wh.set_prop("session_id", self.session_id)
+        self.wh.set_prop("round", "0")
+        self.wh.set_prop("order_offset", "0")
+        self.wh.set_prop("summary", self.summary.to_json())
+        self.wh.commit("seed")
+
+    # -- resume -------------------------------------------------------------
+
+    def resume(self) -> None:
+        """Reload loop state from the last committed snapshot."""
+        p = self.wh.props
+        self.session_id = p["session_id"]
+        s = json.loads(p["summary"])
+        s.pop("items_found", None)
+        self.summary = CrawlSummary(**s)
+
+    # -- the round ----------------------------------------------------------
+
+    def run(self) -> CrawlSummary:
+        t0 = time.monotonic()
+        r = int(self.wh.props.get("round", "0"))
+        while r < self.opt.max_rounds:
+            r += 1
+            advanced = self.run_round(r)
+            if not advanced:
+                break
+            if self.opt.round_delay_sec:
+                time.sleep(self.opt.round_delay_sec)
+        self.summary.wall_sec = time.monotonic() - t0
+        self._finalize()
+        return self.summary
+
+    def run_round(self, r: int) -> bool:
+        spark, opt = self.spark, self.opt
+        pending = self.wh.read("frontier_pending", schemas.FRONTIER)
+        listing_batch = pending.where(F.col("kind") == "listing")
+        content_carry = pending.where(F.col("kind") == "content")
+
+        # ---- listing pass --------------------------------------------------
+        # one page per host per round (the reference's sequential chain)
+        listing_batch, listing_overflow = politeness_topk(
+            listing_batch, 1, ["depth", "priority", "url_hash"]
+        )
+        fetched = self.fetcher.fetch(listing_batch.select("url", "host", "depth"))
+        lres = extract_listing_stage(fetched, self.config.listing).join(
+            listing_batch.select("url", "host", "depth"), "url"
+        )
+        lres = lres.cache()
+
+        items = (
+            lres.select(
+                F.col("host").alias("listing_host"),
+                "depth",
+                F.col("url").alias("page_url"),
+                "listing_url",
+                F.explode_outer("items").alias("it"),
+                F.size("excluded_urls").alias("n_excluded"),
+                "filtered_count",
+            )
+            .select(
+                "listing_host",
+                "depth",
+                "page_url",
+                F.col("it.url").alias("url"),
+                F.col("it.title").alias("title"),
+                F.col("it.author").alias("author"),
+                F.col("it.published_raw").alias("published_raw"),
+                F.col("it.item_index").alias("item_index"),
+            )
+            .where(F.col("url").isNotNull())
+        )
+        items = self._with_url_cols(items).withColumn(
+            "published_date", _parse_date_udf(F.col("published_raw"))
+        )
+        # strict-date quarantine (engine mode; the reference throws,
+        # SURVEY.md §7.3): a raw date that fails to parse rejects the item
+        items = items.withColumn(
+            "date_error",
+            F.col("published_raw").isNotNull() & F.col("published_date").isNull(),
+        )
+        valid_items = items.where(~F.col("date_error"))
+
+        # J1 session dedup: within batch, then against prior rounds
+        valid_items = valid_items.cache()
+        deduped = dedup_within_batch(
+            valid_items, ["depth", "listing_host", "item_index"]
+        )
+        seen_session = self.wh.read("seen_session", schemas.SEEN)
+        session_new, _ = anti_join_seen(deduped, seen_session)
+
+        # J2 persistent dedup against stored pages (bloom + exact)
+        seen = self.wh.read("seen", schemas.SEEN)
+        bloom = None
+        seen_count = int(self.wh.props.get("seen_count", "0"))
+        if opt.skip_existing_urls and seen_count >= opt.use_bloom_over:
+            bloom = BloomFilter.build(seen, "url_hash", seen_count, opt.bloom_fpp)
+        if opt.skip_existing_urls:
+            to_process, _ = anti_join_seen(session_new, seen, bloom=bloom)
+        else:
+            to_process = session_new
+        to_process = to_process.cache()
+
+        # ---- per-host stats: ONE collect drives counters + stop logic ------
+        page_stats = (
+            lres.select(
+                "host",
+                "depth",
+                F.size("items").alias("n_items"),
+                F.size("excluded_urls").alias("n_excluded"),
+                F.col("filtered_count").alias("n_filtered"),
+                F.col("next_url"),
+            )
+            .groupBy("host")
+            .agg(
+                F.max("depth").alias("depth"),
+                F.sum("n_items").alias("n_items"),
+                F.sum("n_excluded").alias("n_excluded"),
+                F.sum("n_filtered").alias("n_filtered"),
+                F.max("next_url").alias("next_url"),
+            )
+        )
+        new_per_host = to_process.groupBy(F.col("listing_host").alias("host")).agg(
+            F.count("*").alias("n_new")
+        )
+        date_err_per_host = (
+            items.where(F.col("date_error"))
+            .groupBy(F.col("listing_host").alias("host"))
+            .agg(F.count("*").alias("n_date_err"))
+        )
+        stats = {
+            row["host"]: row.asDict()
+            for row in page_stats.join(new_per_host, "host", "left")
+            .join(date_err_per_host, "host", "left")
+            .fillna(0, ["n_new", "n_date_err"])
+            .collect()
+        }
+
+        # host stop decisions (reference stop enum, per host)
+        stopped: dict[str, str] = {}
+        next_listings = []
+        for host, s in stats.items():
+            if (
+                s["n_items"] > 0
+                and s["n_new"] == 0
+                and opt.stop_on_all_duplicates
+            ):
+                # ALL_DUPLICATES fires BEFORE pagesProcessed increments
+                # (ArticleListingCrawler.ts:260-286)
+                stopped[host] = "all_duplicates"
+                continue
+            self.summary.pages_processed += 1
+            if opt.max_pages and s["depth"] >= opt.max_pages:
+                stopped[host] = "max_pages"
+            elif not s["next_url"]:
+                stopped[host] = "no_next_button"
+            else:
+                next_listings.append((s["next_url"], s["depth"] + 1))
+
+        all_dup_hosts = {h for h, v in stopped.items() if v == "all_duplicates"}
+        # processPageItems updates ALL counters before the caller's
+        # all-duplicates break (ArticleListingCrawler.ts:58-96, 260-286), so
+        # excluded/filtered/dup stats count for every page, stopped or not
+        for s in stats.values():
+            self.summary.urls_excluded += s["n_excluded"]
+            # tracker's totalFilteredItems counts excluded containers too
+            # (filteredItems includes isExcluded, ListingPageExtractor.ts:230-235)
+            self.summary.total_filtered += s["n_filtered"] + s["n_excluded"]
+            self.summary.listing_errors += s["n_date_err"]
+        n_page_items = sum(s["n_items"] for s in stats.values())
+        n_new_total = sum(s["n_new"] for s in stats.values())
+        self.summary.duplicates_skipped += n_page_items - n_new_total
+
+        # ---- content schedule ----------------------------------------------
+        base = to_process
+        if all_dup_hosts:
+            base = base.where(~F.col("listing_host").isin(list(all_dup_hosts)))
+        to_fetch_new = base.select(
+            "url", "url_canon", "url_hash", "host", "host_hash",
+            F.col("depth"),
+            F.lit(0.0).alias("priority"),
+            F.lit(self.start_time).alias("discovered_ts"),
+            F.lit("pending").alias("state"),
+            F.lit(0).alias("attempts"),
+            F.lit(self.config.id).alias("source_id"),
+            F.lit("content").alias("kind"),
+            F.col("item_index").cast("long").alias("listing_order"),
+            "title", "author", "published_date",
+        )
+        candidates = content_carry.unionByName(to_fetch_new)
+
+        scheduled, content_overflow = politeness_topk(
+            candidates,
+            opt.per_host_budget,
+            ["depth", "listing_order", "url_hash"],
+        )
+        allowed, blocked = robots_gate(scheduled, self.robots)
+
+        # ---- fetch + extract (the hot path) ---------------------------------
+        n_parts = spark.sparkContext.defaultParallelism
+        allowed = salt_hot_hosts(allowed, n_parts, opt.salt_factor)
+        fetched_c = self.fetcher.fetch(allowed)
+        extracted = extract_content_stage(fetched_c, self.config.content)
+
+        # mergeContentData semantics (ContentDataMapper.ts:8-26): content
+        # page fields override listing fields where non-null
+        merged = (
+            extracted.withColumn("title_f", F.coalesce("title_x", "title"))
+            .withColumn("author_f", F.coalesce("author_x", "author"))
+            .withColumn(
+                "had_err",
+                F.col("html").isNull() | (F.size("extraction_errors") > 0),
+            )
+        )
+
+        # W1: deterministic global order = (round, host, listing position)
+        offset = int(self.wh.props.get("order_offset", "0"))
+        cleanup: list = []
+        ordered = assign_sequential_order(
+            merged,
+            ["depth", "host", "listing_order", "url_hash"],
+            offset=offset,
+            cleanup=cleanup,
+        ).cache()
+
+        pages_out = ordered.select(
+            F.xxhash64("url_hash").alias("id"),
+            F.sha1(F.col("url")).alias("hash"),  # ContentStore.ts:106 sha1(url)
+            F.lit(self.config.id).alias("source"),
+            "url",
+            "url_hash",
+            "host",
+            "host_hash",
+            F.col("title_f").alias("title"),
+            F.col("author_f").alias("author"),
+            "published_date",
+            F.col("content_x").alias("content"),
+            F.lit(self.start_time).alias("crawled_at"),
+            F.lit(self.start_time).alias("created_at"),
+            F.col("had_err").alias("had_extraction_error"),
+            "processed_order",
+        )
+        pages_out = pages_out.cache()
+        n_stored = pages_out.count()
+        n_errors = pages_out.where("had_extraction_error").count()
+        n_blocked = blocked.count()
+
+        self.summary.contents_crawled += n_stored
+        self.summary.items_processed += n_stored
+        self.summary.items_with_errors += n_errors
+        self.summary.robots_blocked += n_blocked
+        self.summary.rounds = r
+
+        # ---- writes + snapshot commit ---------------------------------------
+        self.wh.append(
+            "pages",
+            pages_out.drop("processed_order").repartition(
+                max(1, n_parts // 2), "host_hash"
+            ),
+        )
+        self.wh.append(
+            "session_content",
+            pages_out.select(
+                F.lit(self.session_id).alias("session_id"),
+                F.col("id").alias("content_id"),
+                "processed_order",
+                F.col("had_extraction_error").alias(
+                    "had_content_extraction_error"
+                ),
+            ),
+        )
+        self.wh.append("seen", pages_out.select("url_hash"))
+        self.wh.append(
+            "seen_session", session_new.select("url_hash").distinct()
+        )
+        # per-partition lineage metrics (north_rule)
+        part_metrics = (
+            ordered.groupBy("partition_id")
+            .agg(
+                F.count("*").alias("contents_crawled"),
+                F.sum("fetch_ms").alias("fetch_ms"),
+                F.sum("parse_ms").alias("parse_ms"),
+            )
+            .select(
+                F.lit(self.session_id).alias("session_id"),
+                F.lit(r).alias("round"),
+                "partition_id",
+                F.lit(n_page_items).alias("items_found"),
+                F.lit(n_stored).alias("items_processed"),
+                F.lit(n_page_items - n_new_total).alias("duplicates_skipped"),
+                F.lit(sum(s["n_excluded"] for s in stats.values())).alias(
+                    "urls_excluded"
+                ),
+                F.lit(sum(s["n_filtered"] for s in stats.values())).alias(
+                    "total_filtered"
+                ),
+                "contents_crawled",
+                "fetch_ms",
+                "parse_ms",
+            )
+        )
+        self.wh.append("metrics", part_metrics.select(*schemas.METRICS.names))
+
+        # frontier: remaining listing overflow + next pages + content overflow
+        next_df = (
+            self._seed_rows(next_listings)
+            if next_listings
+            else spark.createDataFrame([], schemas.FRONTIER)
+        )
+        new_pending = listing_overflow.unionByName(next_df).unionByName(
+            content_overflow
+        )
+        self.wh.replace("frontier_pending", new_pending.select(*schemas.FRONTIER.names))
+
+        if stopped:
+            # per-host stop lineage (scales: a table, not driver state)
+            self.wh.append(
+                "host_state",
+                spark.createDataFrame(
+                    [(h, int(stats[h]["depth"]), v) for h, v in stopped.items()],
+                    "host string, pages_processed long, stopped_reason string",
+                ),
+            )
+            for v in stopped.values():
+                self.summary.host_stops[v] = self.summary.host_stops.get(v, 0) + 1
+
+        self.wh.set_prop("round", str(r))
+        self.wh.set_prop("order_offset", str(offset + n_stored))
+        self.wh.set_prop(
+            "seen_count", str(int(self.wh.props.get("seen_count", "0")) + n_stored)
+        )
+        self.wh.set_prop("summary", self.summary.to_json())
+        self._write_session_row(ended=False)
+        self.wh.commit(f"round-{r}")
+
+        for c in (lres, valid_items, to_process, pages_out, ordered, *cleanup):
+            c.unpersist()
+
+        # was there any work this round?
+        return bool(stats) or n_stored > 0 or n_blocked > 0
+
+    def _seed_rows(self, url_depths: list[tuple[str, int]]) -> DataFrame:
+        df = self.spark.createDataFrame(url_depths, "url string, depth int")
+        return (
+            self._with_url_cols(df)
+            .withColumn("priority", F.lit(0.0))
+            .withColumn("discovered_ts", F.lit(self.start_time))
+            .withColumn("state", F.lit("pending"))
+            .withColumn("attempts", F.lit(0))
+            .withColumn("source_id", F.lit(self.config.id))
+            .withColumn("kind", F.lit("listing"))
+            .withColumn("listing_order", F.lit(0).cast("long"))
+            .withColumn("title", F.lit(None).cast("string"))
+            .withColumn("author", F.lit(None).cast("string"))
+            .withColumn("published_date", F.lit(None).cast("string"))
+            .select(*schemas.FRONTIER.names)
+        )
+
+    def _session_stop_reason(self) -> str:
+        reasons = set(self.summary.host_stops.keys())
+        for pick in ("max_pages", "all_duplicates", "no_next_button"):
+            if pick in reasons:
+                return pick
+        return "no_next_button"
+
+    def _write_session_row(self, ended: bool) -> None:
+        reason = self._session_stop_reason() if ended else None
+        row = [
+            (
+                self.session_id,
+                self.config.id,
+                self.config.name,
+                self.start_time,
+                self.start_time if ended else None,
+                self.summary.to_json(),
+                reason,
+            )
+        ]
+        self.wh.replace(
+            "sessions", self.spark.createDataFrame(row, schemas.SESSIONS)
+        )
+
+    def _finalize(self) -> None:
+        self.summary.stopped_reason = self._session_stop_reason()
+        self._write_session_row(ended=True)
+        self.wh.set_prop("summary", self.summary.to_json())
+        self.wh.commit("final")

@@ -115,11 +115,19 @@ def extract_content_stage(df, config: ContentConfig):
             T.StructField("author_x", T.StringType()),
             T.StructField("content_x", T.StringType()),
             T.StructField("extraction_errors", T.ArrayType(T.StringType())),
+            T.StructField("parse_ms", T.DoubleType()),
+            T.StructField("partition_id", T.IntegerType()),
         ]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         for pdf in batches:
+            t0 = time.monotonic()
             titles, authors, contents, errs = [], [], [], []
             for url, html in zip(pdf["url"], pdf["html"]):
                 if html is None:
@@ -135,11 +143,14 @@ def extract_content_stage(df, config: ContentConfig):
                 authors.append(f.get("author"))
                 contents.append(f.get("content"))
                 errs.append(f["_errors"])
+            elapsed = (time.monotonic() - t0) * 1000.0
             pdf = pdf.copy()
             pdf["title_x"] = titles
             pdf["author_x"] = authors
             pdf["content_x"] = contents
             pdf["extraction_errors"] = errs
+            pdf["parse_ms"] = elapsed / max(1, len(pdf))
+            pdf["partition_id"] = pid
             yield pdf
 
     return df.mapInPandas(run, out_schema)

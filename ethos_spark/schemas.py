@@ -44,6 +44,10 @@ FRONTIER = StructType(
         StructField("source_id", StringType()),
         StructField("kind", StringType()),  # listing|content
         StructField("listing_order", LongType()),  # position on its listing page
+        # listing-extracted fields carried by content rows (null for listing rows)
+        StructField("title", StringType()),
+        StructField("author", StringType()),
+        StructField("published_date", StringType()),  # ISO, parsed at listing time
     ]
 )
 
