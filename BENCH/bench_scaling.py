@@ -1,0 +1,129 @@
+"""Scaling-efficiency evidence for the north rule (≥0.8 from N to 4N).
+
+No real cluster exists in this sandbox, so the two-cluster-size criterion
+is evidenced by running the IDENTICAL crawl job on the IDENTICAL synthetic
+corpus at two parallelism levels (N and 4N local cores) in fresh JVMs,
+reporting throughput at both plus efficiency = (T_high/T_low)/4.
+
+On this 32-core sandbox the pair is local[4] vs local[16]: each Spark
+core pairs a JVM task thread with an Arrow python worker process, so
+local[32] would oversubscribe the machine 2x and measure hardware
+saturation, not the engine. Articles are paragraph-boosted
+(ETHOS_SYNTH_PARA_BOOST) to realistic page weights so compute dominates
+orchestration latency, as it does at production scale.
+
+Usage: python BENCH/bench_scaling.py [hosts] [articles] [rounds]
+Writes BENCH/scaling.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+N_LOW, N_HIGH = 4, 16
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+CHILD = r"""
+import json, os, sys, time, tempfile
+sys.path.insert(0, sys.argv[5])
+os.environ.setdefault("ETHOS_DRIVER_MEM", "12g")  # bigger heaps measured slower (GC)
+from ethos_spark.session import get_spark
+from ethos_spark.catalog import Warehouse
+from ethos_spark.crawl.fetcher import CorpusFetcher
+from ethos_spark.crawl.runner import CrawlOptions, CrawlRunner
+from ethos_spark.sources.config import SYNTH_SOURCE
+from ethos_spark.synth import listing_url
+
+cores = int(sys.argv[1]); corpus_path = sys.argv[2]
+n_hosts = int(sys.argv[3]); rounds = int(sys.argv[4])
+spark = get_spark(f"scaling-{cores}", master=f"local[{cores}]",
+                  shuffle_partitions=cores)
+corpus = spark.read.parquet(corpus_path)
+corpus.count()  # warm the page cache / JVM before timing
+wh = Warehouse(spark, tempfile.mkdtemp(prefix=f"scal{cores}-") + "/wh")
+runner = CrawlRunner(spark, wh, CorpusFetcher(corpus), SYNTH_SOURCE,
+                     CrawlOptions(max_pages=rounds))
+runner.seed([listing_url(h, 1) for h in range(n_hosts)])
+t0 = time.monotonic()
+s = runner.run()
+wall = time.monotonic() - t0
+urls = s.pages_processed + s.contents_crawled
+print(json.dumps({"cores": cores, "urls": urls, "wall_sec": round(wall, 2),
+                  "urls_per_sec": round(urls / wall, 1)}))
+spark.stop()
+"""
+
+
+def run_at(cores: int, corpus_path: str, n_hosts: int, rounds: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD, str(cores), corpus_path, str(n_hosts),
+         str(rounds), REPO],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=3600,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    articles = int(sys.argv[2]) if len(sys.argv) > 2 else 40_000
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+
+    os.environ.setdefault("ETHOS_SYNTH_PARA_BOOST", "8")
+    # build the shared corpus once (32 cores, excluded from timing);
+    # ETHOS_SCALING_CORPUS reuses a previously generated corpus dir
+    cached = os.environ.get("ETHOS_SCALING_CORPUS")
+    if cached and os.path.exists(cached):
+        corpus_path = cached
+        r_low = run_at(N_LOW, corpus_path, n_hosts, rounds)
+        r_high = run_at(N_HIGH, corpus_path, n_hosts, rounds)
+        _finish(r_low, r_high, n_hosts, articles, rounds)
+        return
+    corpus_path = os.path.join(tempfile.mkdtemp(prefix="ethos-scaling-"), "corpus")
+    gen = (
+        "import sys; sys.path.insert(0, %r);"
+        "from ethos_spark.session import get_spark;"
+        "from ethos_spark.synth import build_pages_df;"
+        "spark = get_spark('gen', master='local[32]');"
+        "build_pages_df(spark, %d, %d, golden_text=False)"
+        ".write.mode('overwrite').parquet(%r);"
+        "spark.stop()" % (REPO, n_hosts, articles, corpus_path)
+    )
+    subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO,
+                   capture_output=True, timeout=3600)
+
+    print(json.dumps({"corpus": corpus_path}))
+    r_low = run_at(N_LOW, corpus_path, n_hosts, rounds)
+    r_high = run_at(N_HIGH, corpus_path, n_hosts, rounds)
+    _finish(r_low, r_high, n_hosts, articles, rounds)
+
+
+def _finish(r_low: dict, r_high: dict, n_hosts: int, articles: int, rounds: int) -> None:
+    eff = round((r_high["urls_per_sec"] / r_low["urls_per_sec"]) / (N_HIGH / N_LOW), 3)
+    result = {
+        "n_hosts": n_hosts,
+        "articles": articles,
+        "rounds": rounds,
+        "para_boost": os.environ.get("ETHOS_SYNTH_PARA_BOOST", "1"),
+        f"local{N_LOW}": r_low,
+        f"local{N_HIGH}": r_high,
+        "scaling_efficiency": eff,
+        "target": 0.8,
+    }
+    with open(os.path.join(HERE, "scaling.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,38 +1,711 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data pipeline ops (dedup / similarity /
+text-analysis / multimodal), each expressed over the driver's parquet
+tables; ``oracle_sql()`` carries the exactly-equivalent DuckDB SQL.
+
+Cross-engine conventions used throughout:
+- shared 56-bit hash H(x): Spark ``conv(substr(md5(x),1,14),16,10)::long``
+  ≡ DuckDB ``(('0x'||substr(md5(x),1,14))::ubigint)::bigint``
+- every aggregate/computed column aliased identically on both sides
+- doubles rounded (6dp; money 2dp); DuckDB sums cast to BIGINT
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ethos_spark.ops import dedup as dd
+from ethos_spark.ops import similarity as sim
+from ethos_spark.ops import textstats as ts
+from ethos_spark.ops.multimodal import attach_fake_payload, decode_media
+
+SF0001 = "/root/testdata/sf0.001"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: corpus curation pipeline (quality + langid + exact-dedup marks)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: curate the documents corpus — quality-score,
+    language-ID, fingerprint and exact-dedup every document, keep the
+    best-quality English docs. The serve-path shape of the crawl engine."""
+    docs = _t(spark, SF0001, "documents")
+    scored = ts.quality_features(docs)
+    lang = ts.predict_lang(scored)
+    curated = (
+        lang.withColumn("fingerprint", ts.fingerprint(F.col("text")))
+        .where((F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.3))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "quality_score",
+            "lang_pred",
+            "fingerprint",
+        )
+        .orderBy(F.desc("quality_score"), "doc_id")
+    )
+    return curated
+
+
+# ---------------------------------------------------------------------------
+# relational operator queries (SURVEY.md §2 inventory)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem").where(F.col("l_shipdate") <= "1998-09-01")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def publications_page(spark, sf):
+    # P9 filters + O1 whitelist sort + O2 limit/offset (serve §3.2)
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.where((F.col("lang") == "en") & (F.col("n_chars") >= 100))
+        .orderBy(F.desc("n_chars"), F.desc("doc_id"))
+        .offset(20)
+        .limit(20)
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+def group_by_source(spark, sf):
+    # A2 (ContentMetadataStore.ts:328-337)
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), "source")
+    )
+
+
+def count_filtered(spark, sf):
+    # A1/A3 scalar count under pushed-down filters
+    return (
+        _t(spark, sf, "documents")
+        .where((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+        .agg(F.count("*").alias("total"))
+    )
+
+
+def pagination_meta(spark, sf):
+    # O2 math: clamp [1,100] (pagination.ts:86-88), totalPages=ceil
+    from ethos_spark.serve.queries import clamp_limit
+
+    limit = clamp_limit(250)  # clamps to 100
+    return (
+        _t(spark, sf, "documents")
+        .agg(F.count("*").alias("total"))
+        .select(
+            "total",
+            F.lit(3).alias("page"),
+            F.lit(limit).alias("limit"),
+            F.ceil(F.col("total") / limit).cast("long").alias("totalPages"),
+        )
+    )
+
+
+def anti_join_new(spark, sf):
+    # J2: the URL-seen anti-join shape — customers with no orders
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def semi_join_seen(spark, sf):
+    # P7 second-layer membership check — customers WITH orders
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def session_contents_join(spark, sf):
+    # J3: junction ⨝ payload ORDER BY (SessionMetadataStore.ts:128-137)
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_name", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+def broadcast_enrich(spark, sf):
+    # J4: tiny-dim broadcast lookup (listing-handler.ts:68-70)
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("n_nationkey").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def processed_order_window(spark, sf):
+    # W1: the crawl-ordering invariant as a window
+    e = _t(spark, sf, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", F.row_number().over(w).alias("processed_order")
+    )
+
+
+def top_k_per_key(spark, sf):
+    # O7: per-host politeness top-k
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        e.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("event_type", "rank", "event_id", F.round("value", 6).alias("value"))
+        .orderBy("event_type", "rank")
+    )
+
+
+def counters_rollup(spark, sf):
+    # A4/A8: running counters + itemsFound derivation (summaryBuilder.ts:26-29)
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") >= 0.5).cast("long")).alias("items_processed"),
+            F.sum((F.col("value") < 0.5).cast("long")).alias("duplicates_skipped"),
+            F.sum(F.col("value").isNull().cast("long")).alias("total_filtered"),
+        )
+        .withColumn(
+            "items_found",
+            F.col("items_processed")
+            + F.col("duplicates_skipped")
+            + F.col("total_filtered"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def field_stats(spark, sf):
+    # A5: per-field success counts + ordered missing-item list
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("total_attempts"),
+            F.sum((F.col("n_chars") > 300).cast("long")).alias("success_count"),
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("n_chars") <= 300, F.col("doc_id"))
+                    )
+                ),
+                ",",
+            ).alias("missing_items"),
+        )
+        .orderBy("lang")
+    )
+
+
+def success_rate(spark, sf):
+    # A6: (success/total*100).toFixed(2) (ui/summary.ts:54-79)
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("total_attempts"),
+            F.sum((F.col("n_chars") > 500).cast("long")).alias("success_count"),
+            F.round(
+                100.0 * F.sum((F.col("n_chars") > 500).cast("long")) / F.count("*"),
+                2,
+            ).alias("success_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def sessions_list(spark, sf):
+    # O4 + F9: last-seen per user desc + duration seconds
+    e = _t(spark, sf, "events").where(F.col("user_id") < 50)
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("duration_sec"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("last_seen"),
+        )
+        .orderBy(F.desc("last_seen"), "user_id")
+    )
+
+
+def whitespace_normalize(spark, sf):
+    # F4/P2: \s+ → ' ' + trim + empty→null over documents
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    n = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return d.select(
+        "doc_id", F.when(n == "", None).otherwise(n).alias("norm_text")
+    ).orderBy("doc_id")
+
+
+def hash_fingerprint(spark, sf):
+    # F1/P8 analogue + document fingerprinting (rolling-skeleton md5)
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    fp = ts.fingerprint(F.col("text"))
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        fp.rlike("^[a-f0-9]{32}$").alias("hash_valid"),  # P8 gate shape
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
+    )
+    return dd.exact_dedup(doubled, "doc_id", "text")
+
+
+def _neardup_docs(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 500).select("doc_id", "text")
+    return dd.with_near_dup_copies(d, "doc_id", "text")
+
+
+def dedup_ngram_jaccard(spark, sf):
+    return dd.ngram_jaccard_pairs(_neardup_docs(spark, sf), "doc_id", "text", 5, 0.6)
+
+
+def dedup_minhash_lsh(spark, sf):
+    return dd.minhash_lsh_pairs(_neardup_docs(spark, sf), "doc_id", "text", 5, 0.6)
+
+
+def dedup_simhash(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200).select("doc_id", "text")
+    return dd.simhash(d, "doc_id", "text")
+
+
+def simhash_pairs(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200).select("doc_id", "text")
+    return dd.simhash_pairs(
+        dd.with_near_dup_copies(d, "doc_id", "text"), "doc_id", "text", 6
+    )
+
+
+def similarity_topk(spark, sf):
+    return sim.cosine_topk(_t(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=5)
+
+
+def similarity_lsh_ann(spark, sf):
+    # approximate scale path — rows-only driver check (no SQL oracle)
+    return sim.lsh_ann_topk(_t(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=5)
+
+
+def langid_predict(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return ts.predict_lang(d).select(
+        "doc_id", "hits_en", "hits_sv", "hits_fr", "lang_pred"
+    ).orderBy("doc_id")
+
+
+def quality_score(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return ts.quality_features(d).select(
+        "doc_id", "n_tokens", "punct_ratio", "stop_ratio", "quality_u"
+    ).orderBy("doc_id")
+
+
+def token_counts(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id",
+        ts.token_count(F.col("text")).alias("n_ws_tokens"),
+        ts.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def multimodal_decode(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    meta = decode_media(attach_fake_payload(d))
+    return meta.select("doc_id", "n_bytes", "width", "height", "codec").orderBy(
+        "doc_id"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "publications_page": publications_page,
+        "group_by_source": group_by_source,
+        "count_filtered": count_filtered,
+        "pagination_meta": pagination_meta,
+        "anti_join_new": anti_join_new,
+        "semi_join_seen": semi_join_seen,
+        "session_contents_join": session_contents_join,
+        "broadcast_enrich": broadcast_enrich,
+        "processed_order_window": processed_order_window,
+        "top_k_per_key": top_k_per_key,
+        "counters_rollup": counters_rollup,
+        "field_stats": field_stats,
+        "success_rate": success_rate,
+        "sessions_list": sessions_list,
+        "whitespace_normalize": whitespace_normalize,
+        "hash_fingerprint": hash_fingerprint,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "simhash_pairs": simhash_pairs,
+        "similarity_topk": similarity_topk,
+        "similarity_lsh_ann": similarity_lsh_ann,
+        "langid_predict": langid_predict,
+        "quality_score": quality_score,
+        "token_counts": token_counts,
+        "multimodal_decode": multimodal_decode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_H56 = "(('0x'||substr(md5({x}),1,14))::ubigint)::bigint"
+_NORM = "trim(regexp_replace(lower({x}), '\\s+', ' ', 'g'))"
+
+_SHINGLE_CTE = f"""
+base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+docs AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 10000000, regexp_replace(text, '\\s+\\S+\\s*$', '') FROM base
+),
+words AS (
+  SELECT doc_id, str_split({_NORM.format(x='text')}, ' ') AS ws FROM docs
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         {_H56.format(x="array_to_string(list_slice(ws, i, i+4), ' ')")} AS s
+  FROM words, UNNEST(generate_series(1, greatest(len(ws)-4, 1))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE}
+SELECT doc_a, doc_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+ORDER BY doc_a, doc_b
+"""
+
+
+def _simhash_sql(where: str, with_copies: bool) -> str:
+    bits = 56
+    votes = ", ".join(
+        f"sum(case when (hw >> {b}) & 1 = 1 then 1 else -1 end) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(case when v{b} > 0 then {1 << b}::bigint else 0::bigint end)"
+        for b in range(bits)
+    )
+    copies = (
+        """UNION ALL SELECT doc_id + 10000000, regexp_replace(text, '\\s+\\S+\\s*$', '') FROM base"""
+        if with_copies
+        else ""
+    )
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE {where}),
+docs AS (SELECT doc_id, text FROM base {copies}),
+toks AS (
+  SELECT doc_id, unnest(str_split({_NORM.format(x='text')}, ' ')) AS w FROM docs
+),
+h AS (SELECT doc_id, {_H56.format(x='w')} AS hw FROM toks),
+votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+sigs AS (SELECT doc_id, ({sig}) AS simhash FROM votes)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "publications_page": """
+            SELECT doc_id, source, lang, n_chars FROM documents
+            WHERE lang = 'en' AND n_chars >= 100
+            ORDER BY n_chars DESC, doc_id DESC
+            LIMIT 20 OFFSET 20
+        """,
+        "group_by_source": """
+            SELECT source, count(*) AS count FROM documents
+            GROUP BY source ORDER BY count DESC, source
+        """,
+        "count_filtered": """
+            SELECT count(*) AS total FROM documents
+            WHERE lang = 'en' AND n_chars >= 200
+        """,
+        "pagination_meta": """
+            SELECT count(*) AS total, 3 AS page, 100 AS "limit",
+                   ceil(count(*) / 100.0)::bigint AS totalPages
+            FROM documents
+        """,
+        "anti_join_new": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey
+        """,
+        "semi_join_seen": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey
+        """,
+        "session_contents_join": """
+            SELECT o_orderkey, c_name, o_orderstatus, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey LIMIT 100
+        """,
+        "broadcast_enrich": """
+            SELECT n_nationkey AS nationkey, n_name AS nation, r_name AS region
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            ORDER BY nationkey
+        """,
+        "processed_order_window": """
+            SELECT event_id, user_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS processed_order
+            FROM events WHERE user_id < 50
+        """,
+        "top_k_per_key": """
+            SELECT event_type, rank, event_id, value FROM (
+              SELECT event_type, event_id, round(value, 6) AS value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id) AS rank
+              FROM events
+            ) WHERE rank <= 3 ORDER BY event_type, rank
+        """,
+        "counters_rollup": """
+            SELECT event_type,
+                   sum(case when value >= 0.5 then 1 else 0 end)::bigint AS items_processed,
+                   sum(case when value < 0.5 then 1 else 0 end)::bigint AS duplicates_skipped,
+                   sum(case when value IS NULL then 1 else 0 end)::bigint AS total_filtered,
+                   (sum(case when value >= 0.5 then 1 else 0 end)
+                    + sum(case when value < 0.5 then 1 else 0 end)
+                    + sum(case when value IS NULL then 1 else 0 end))::bigint AS items_found
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "field_stats": """
+            SELECT lang, count(*) AS total_attempts,
+                   sum(case when n_chars > 300 then 1 else 0 end)::bigint AS success_count,
+                   coalesce(array_to_string(list_sort(list(doc_id)
+                     FILTER (WHERE n_chars <= 300)), ','), '') AS missing_items
+            FROM documents WHERE doc_id < 200
+            GROUP BY lang ORDER BY lang
+        """,
+        "success_rate": """
+            SELECT source, count(*) AS total_attempts,
+                   sum(case when n_chars > 500 then 1 else 0 end)::bigint AS success_count,
+                   round(100.0 * sum(case when n_chars > 500 then 1 else 0 end)
+                         / count(*), 2) AS success_rate
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "sessions_list": """
+            SELECT user_id, count(*) AS n_events,
+                   (floor(epoch(max(ts)))::bigint - floor(epoch(min(ts)))::bigint)
+                     AS duration_sec,
+                   strftime(max(ts), '%Y-%m-%dT%H:%M:%S') AS last_seen
+            FROM events WHERE user_id < 50
+            GROUP BY user_id ORDER BY last_seen DESC, user_id
+        """,
+        "whitespace_normalize": """
+            SELECT doc_id,
+                   nullif(trim(regexp_replace(text, '\\s+', ' ', 'g')), '')
+                     AS norm_text
+            FROM documents WHERE doc_id < 100 ORDER BY doc_id
+        """,
+        "hash_fingerprint": f"""
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+                   regexp_matches(md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')),
+                                  '^[a-f0-9]{{32}}$') AS hash_valid
+            FROM documents WHERE doc_id < 200 ORDER BY doc_id
+        """,
+        "dedup_exact": f"""
+            WITH doubled AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 5000000, text FROM documents
+            )
+            SELECT min(doc_id) AS keep_id, count(*) AS group_size
+            FROM (SELECT doc_id, md5({_NORM.format(x='text')}) AS digest FROM doubled)
+            GROUP BY digest ORDER BY keep_id
+        """,
+        "dedup_ngram_jaccard": _JACCARD_SQL,
+        # LSH with recall≈1 at the chosen banding equals the brute-force set
+        "dedup_minhash_lsh": _JACCARD_SQL,
+        "dedup_simhash": _simhash_sql("doc_id < 200", False)
+        + "SELECT doc_id, simhash FROM sigs ORDER BY doc_id",
+        "simhash_pairs": _simhash_sql("doc_id < 200", True)
+        + """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::int AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+            ORDER BY doc_a, doc_b
+        """,
+        "similarity_topk": """
+            SELECT q_id, neighbor_id, score, rank FROM (
+              SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(
+                       q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS score,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                         q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                                DESC, e.vec_id) AS rank
+              FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+              WHERE q.vec_id < 5
+            ) WHERE rank <= 5 ORDER BY q_id, rank
+        """,
+        "langid_predict": """
+            WITH n AS (
+              SELECT doc_id,
+                     ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' ' AS p
+              FROM documents WHERE doc_id < 300
+            ), hits AS (
+              SELECT doc_id,
+                (((length(p) - length(regexp_replace(p, ' the ', ' ', 'g'))) / 4)::bigint
+                 + ((length(p) - length(regexp_replace(p, ' and ', ' ', 'g'))) / 4)::bigint
+                 + ((length(p) - length(regexp_replace(p, ' of ', ' ', 'g'))) / 3)::bigint
+                 + ((length(p) - length(regexp_replace(p, ' to ', ' ', 'g'))) / 3)::bigint
+                 + ((length(p) - length(regexp_replace(p, ' is ', ' ', 'g'))) / 3)::bigint)
+                   AS hits_en,
+                (((length(p) - length(regexp_replace(p, ' och ', ' ', 'g'))) / 4)::bigint
+                 + ((length(p) - length(regexp_replace(p, ' att ', ' ', 'g'))) / 4)::bigint
+                 + ((length(p) - length(regexp_replace(p, ' det ', ' ', 'g'))) / 4)::bigint
+                 + ((length(p) - length(regexp_replace(p, ' som ', ' ', 'g'))) / 4)::bigint
+                 + ((length(p) - length(regexp_replace(p, ' en ', ' ', 'g'))) / 3)::bigint)
+                   AS hits_sv,
+                (((length(p) - length(regexp_replace(p, ' le ', ' ', 'g'))) / 3)::bigint
+                 + ((length(p) - length(regexp_replace(p, ' la ', ' ', 'g'))) / 3)::bigint
+                 + ((length(p) - length(regexp_replace(p, ' et ', ' ', 'g'))) / 3)::bigint
+                 + ((length(p) - length(regexp_replace(p, ' les ', ' ', 'g'))) / 4)::bigint
+                 + ((length(p) - length(regexp_replace(p, ' des ', ' ', 'g'))) / 4)::bigint)
+                   AS hits_fr
+              FROM n
+            )
+            SELECT doc_id, hits_en, hits_sv, hits_fr,
+                   CASE WHEN hits_en >= hits_sv AND hits_en >= hits_fr THEN 'en'
+                        WHEN hits_sv >= hits_fr THEN 'sv' ELSE 'fr' END AS lang_pred
+            FROM hits ORDER BY doc_id
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   case when trim(regexp_replace(text, '\\s+', ' ', 'g')) = '' then 0
+                        else len(str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                   end AS n_ws_tokens,
+                   case when trim(regexp_replace(
+                          regexp_replace(text, '([.,;:!?()\\[\\]"''])', ' \\1 ', 'g'),
+                          '\\s+', ' ', 'g')) = '' then 0
+                        else len(str_split(trim(regexp_replace(
+                          regexp_replace(text, '([.,;:!?()\\[\\]"''])', ' \\1 ', 'g'),
+                          '\\s+', ' ', 'g')), ' '))
+                   end AS n_bpe_tokens
+            FROM documents WHERE doc_id < 300 ORDER BY doc_id
+        """,
+        "quality_score": """
+            WITH n AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt,
+                     ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' ' AS p
+              FROM documents WHERE doc_id < 300
+            ), feat AS (
+              SELECT doc_id,
+                     case when nt = '' then 0 else len(str_split(nt, ' ')) end AS n_tokens,
+                     round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                           / greatest(length(text), 1), 6) AS punct_ratio,
+                     (((length(p) - length(regexp_replace(p, ' the ', ' ', 'g'))) / 4)::bigint
+                      + ((length(p) - length(regexp_replace(p, ' and ', ' ', 'g'))) / 4)::bigint
+                      + ((length(p) - length(regexp_replace(p, ' of ', ' ', 'g'))) / 3)::bigint
+                      + ((length(p) - length(regexp_replace(p, ' to ', ' ', 'g'))) / 3)::bigint
+                      + ((length(p) - length(regexp_replace(p, ' is ', ' ', 'g'))) / 3)::bigint)
+                       AS hits_en
+              FROM n
+            )
+            SELECT doc_id, n_tokens, punct_ratio,
+                   round(hits_en / greatest(n_tokens, 1)::double, 6) AS stop_ratio,
+                   floor((least(n_tokens / 50.0, 1.0) * 0.5
+                         + least(round(hits_en / greatest(n_tokens, 1)::double, 6) * 5.0, 1.0) * 0.3
+                         + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2) * 1e6)::bigint AS quality_u
+            FROM feat ORDER BY doc_id
+        """,
+        "multimodal_decode": """
+            SELECT doc_id, octet_length(encode(text))::bigint AS n_bytes,
+                   (octet_length(encode(text)) % 640)::int AS width,
+                   ((octet_length(encode(text)) * 7) % 480)::int AS height,
+                   'stub' AS codec
+            FROM documents WHERE doc_id < 200 ORDER BY doc_id
+        """,
+    }

@@ -1,0 +1,124 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the crawl engine's
+north-star throughput (URLs fetched+extracted per second) on a synthetic
+frontier sized for one large round (driver overhead amortized — the shape a
+1000-executor round has at 10^10 URLs).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "crawl": {"urls": n, "wall_sec": s, "urls_per_sec": r}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    picks = [
+        "q1_pricing_summary",
+        "publications_page",
+        "group_by_source",
+        "session_contents_join",
+        "processed_order_window",
+        "top_k_per_key",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "similarity_topk",
+        "similarity_lsh_ann",
+        "langid_predict",
+        "quality_score",
+        "token_counts",
+        "multimodal_decode",
+    ]
+    qs = E.queries()
+    out: dict[str, float] = {}
+    for name in picks:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        df.count()  # materialize
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def bench_crawl(
+    spark, n_hosts: int = 1500, total_articles: int = 24_000
+) -> dict:
+    """North-star: urls fetched+extracted per second. One big round
+    (max_pages=1) so the measurement reflects the distributed fetch/extract
+    pipeline, not per-round driver latency."""
+    from ethos_spark.catalog import Warehouse
+    from ethos_spark.crawl.fetcher import CorpusFetcher
+    from ethos_spark.crawl.runner import CrawlOptions, CrawlRunner
+    from ethos_spark.sources.config import SYNTH_SOURCE
+    from ethos_spark.synth import build_pages_df, listing_url, zipf_article_counts
+
+    tmp = tempfile.mkdtemp(prefix="ethos-bench-")
+    corpus_path = os.path.join(tmp, "corpus")
+    build_pages_df(spark, n_hosts, total_articles).write.mode("overwrite").parquet(
+        corpus_path
+    )
+    corpus = spark.read.parquet(corpus_path)
+
+    wh = Warehouse(spark, os.path.join(tmp, "wh"))
+    runner = CrawlRunner(
+        spark,
+        wh,
+        CorpusFetcher(corpus),
+        SYNTH_SOURCE,
+        CrawlOptions(max_pages=1),
+    )
+    runner.seed([listing_url(h, 1) for h in range(n_hosts)])
+    t0 = time.monotonic()
+    summary = runner.run()
+    wall = time.monotonic() - t0
+    # urls touched = listing pages fetched + content pages fetched+extracted
+    urls = summary.pages_processed + summary.contents_crawled
+    return {
+        "urls": urls,
+        "contents": summary.contents_crawled,
+        "wall_sec": round(wall, 2),
+        "urls_per_sec": round(urls / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    skip_crawl = os.environ.get("ETHOS_BENCH_SKIP_CRAWL") == "1"
+    n_hosts = int(os.environ.get("ETHOS_BENCH_HOSTS", "1500"))
+    n_articles = int(os.environ.get("ETHOS_BENCH_ARTICLES", "24000"))
+
+    from ethos_spark.session import get_spark
+
+    spark = get_spark("ethos-bench", master=f"local[{cpus}]")
+    try:
+        queries = bench_queries(spark, sf_dir)
+        crawl = None if skip_crawl else bench_crawl(spark, n_hosts, n_articles)
+        total = round(sum(queries.values()) + (crawl["wall_sec"] if crawl else 0), 3)
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        result = {
+            "metric": "bench_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
+        if crawl:
+            result["crawl"] = crawl
+            result["urls_per_sec"] = crawl["urls_per_sec"]
+        print(json.dumps(result))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

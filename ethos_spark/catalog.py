@@ -135,12 +135,15 @@ class Warehouse:
     def _new_data_dir(self, table: str) -> str:
         return os.path.join(self.path, table, f"data-{uuid.uuid4().hex[:12]}")
 
-    def append(self, table: str, df: DataFrame) -> None:
-        """Stage an append; visible after commit()."""
+    def append(self, table: str, df: DataFrame) -> str:
+        """Stage an append; visible after commit(). Returns the data dir so
+        a writer can immediately re-read what it just wrote (column-pruned)
+        without waiting for the snapshot to publish."""
         self._begin()
         d = self._new_data_dir(table)
         df.write.mode("overwrite").parquet(d)
         self._staged.setdefault(table, []).append(d)
+        return d
 
     def replace(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         """Stage a full replace (copy-on-write); visible after commit().

@@ -1,0 +1,108 @@
+"""spark-submit entry point mirroring the reference CLI (src/index.ts):
+
+  spark-submit --py-files ethos_spark.zip -m ethos_spark.cli crawl \
+      --source synthetic_news --warehouse /data/wh --corpus /data/pages \
+      [--max-pages N] [--recrawl] [--resume] [--budget K]
+  ... sessions --warehouse /data/wh
+  ... publications --warehouse /data/wh [--source S] [--page N] [--limit K]
+  ... clean --warehouse /data/wh --hashes h1,h2
+
+`crawl` maps to crawlWithOptions (src/commands/crawl.ts:16-66): --max-pages
+/ --recrawl (skipExistingUrls=false, index.ts:39) keep the reference flag
+semantics; `sessions` and `publications` are the §3.2/§3.3 serve paths.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ethos-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl")
+    c.add_argument("--source", default="synthetic_news")
+    c.add_argument("--warehouse", required=True)
+    c.add_argument("--corpus", required=True, help="parquet dir of pages input")
+    c.add_argument("--seeds", default="", help="comma-separated seed urls")
+    c.add_argument("--max-pages", type=int, default=None)
+    c.add_argument("--recrawl", action="store_true")
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--budget", type=int, default=10_000, help="per-host per-round")
+    c.add_argument("--no-stop-on-all-duplicates", action="store_true")
+
+    s = sub.add_parser("sessions")
+    s.add_argument("--warehouse", required=True)
+
+    q = sub.add_parser("publications")
+    q.add_argument("--warehouse", required=True)
+    q.add_argument("--source", default=None)
+    q.add_argument("--page", type=int, default=1)
+    q.add_argument("--limit", type=int, default=20)
+
+    d = sub.add_parser("clean")
+    d.add_argument("--warehouse", required=True)
+    d.add_argument("--hashes", required=True)
+
+    args = p.parse_args(argv)
+
+    from ethos_spark.catalog import Warehouse
+    from ethos_spark.session import get_spark
+
+    spark = get_spark(f"ethos-{args.cmd}")
+    wh = Warehouse(spark, args.warehouse)
+
+    if args.cmd == "crawl":
+        from ethos_spark.crawl.fetcher import CorpusFetcher
+        from ethos_spark.crawl.runner import CrawlOptions, CrawlRunner
+        from ethos_spark.sources.config import SOURCES
+
+        config = SOURCES[args.source]
+        runner = CrawlRunner(
+            spark,
+            wh,
+            CorpusFetcher(spark.read.parquet(args.corpus)),
+            config,
+            CrawlOptions(
+                max_pages=args.max_pages,
+                skip_existing_urls=not args.recrawl,
+                stop_on_all_duplicates=not args.no_stop_on_all_duplicates,
+                per_host_budget=args.budget,
+            ),
+        )
+        if args.resume:
+            runner.resume()
+        else:
+            seeds = [u for u in args.seeds.split(",") if u] or [config.listing.url]
+            runner.seed(seeds)
+        summary = runner.run()
+        print(summary.to_json())
+    elif args.cmd == "sessions":
+        from ethos_spark import schemas
+        from ethos_spark.serve.queries import sessions_list
+
+        for row in sessions_list(wh.read("sessions", schemas.SESSIONS)).collect():
+            print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+    elif args.cmd == "publications":
+        from ethos_spark.serve.queries import PublicationsQuery, publications
+
+        rows, meta = publications(
+            wh.read("pages"),
+            PublicationsQuery(source=args.source, page=args.page, limit=args.limit),
+        )
+        print(json.dumps(meta))
+        for row in rows.select("url", "title", "published_date").collect():
+            print(json.dumps(row.asDict()))
+    elif args.cmd == "clean":
+        from ethos_spark.serve.admin import delete_content_by_hash
+
+        print(json.dumps(delete_content_by_hash(wh, args.hashes.split(","))))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

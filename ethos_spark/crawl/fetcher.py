@@ -28,10 +28,21 @@ class Fetcher(Protocol):
 class CorpusFetcher:
     """Deterministic lookup into a corpus DataFrame (url, html).
 
+    ``host_partitioned = False``: output partitioning is the corpus scan
+    (host-agnostic, balanced) — no hot-host salting needed downstream.
+
     The join broadcasts the *candidate* side when it is the small side of
     the round (typical: thousands of candidates vs a huge corpus) so the
     corpus scan stays partition-local and prunes to the html column only.
     """
+
+    host_partitioned = False
+    # inner-join contract: fetch-miss candidates are DROPPED from the
+    # output (the caller reconstructs them via a cheap anti-join). The
+    # outer-join alternative forces a sort-merge join that shuffles every
+    # fetched html body onto shuffle.partitions tasks — measured to
+    # serialize the extract stage.
+    returns_misses = False
 
     def __init__(self, corpus: DataFrame, broadcast_candidates: bool = True):
         self._corpus = corpus.select("url", "html")
@@ -40,12 +51,15 @@ class CorpusFetcher:
     def fetch(self, candidates: DataFrame) -> DataFrame:
         cand = candidates
         if self._broadcast:
-            # inner-plan hint: corpus ⋈ broadcast(candidates) avoids
-            # shuffling the corpus; left join keeps fetch-miss rows (NULL html)
-            hits = self._corpus.join(F.broadcast(cand.select("url").distinct()), "url")
-            out = cand.join(hits, "url", "left")
+            # corpus ⋈ broadcast(url-set) ⋈ broadcast(candidate cols):
+            # the html column never shuffles; output keeps the corpus
+            # scan's partitioning
+            hits = self._corpus.join(
+                F.broadcast(cand.select("url").distinct()), "url"
+            )
+            out = hits.join(F.broadcast(cand), "url")
         else:
-            out = cand.join(self._corpus, "url", "left")
+            out = cand.join(self._corpus, "url")
         return out.withColumn("fetch_ms", F.lit(0.0))
 
 
@@ -54,6 +68,9 @@ class HttpFetcher:
     no HTTP client beyond stdlib). Kept to pin the production shape: an
     Arrow-batched ``mapInPandas`` over host-partitioned candidates, one
     session per host per partition, politeness delay between requests."""
+
+    host_partitioned = True  # batches arrive grouped by host (politeness)
+    returns_misses = True  # every candidate row comes back (html NULL on fail)
 
     def __init__(self, timeout_sec: float = 60.0, delay_sec: float = 1.0):
         self.timeout_sec = timeout_sec

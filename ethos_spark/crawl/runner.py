@@ -20,6 +20,7 @@ the reference enum (MetadataTracker.ts:32-37) evaluated per host.
 from __future__ import annotations
 
 import json
+import os
 import time
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
@@ -162,6 +163,7 @@ class CrawlRunner:
         self.wh.set_prop("session_id", self.session_id)
         self.wh.set_prop("round", "0")
         self.wh.set_prop("order_offset", "0")
+        self.wh.set_prop("session_seen_count", "0")
         self.wh.set_prop("summary", self.summary.to_json())
         self.wh.commit("seed")
 
@@ -193,6 +195,14 @@ class CrawlRunner:
 
     def run_round(self, r: int) -> bool:
         spark, opt = self.spark, self.opt
+        _trace = os.environ.get("ETHOS_CRAWL_TIMING") == "1"
+        _t = [time.monotonic()]
+
+        def tick(label: str) -> None:
+            if _trace:
+                now = time.monotonic()
+                print(f"[round {r}] {label}: {now - _t[0]:.2f}s", flush=True)
+                _t[0] = now
         pending = self.wh.read("frontier_pending", schemas.FRONTIER)
         listing_batch = pending.where(F.col("kind") == "listing")
         content_carry = pending.where(F.col("kind") == "content")
@@ -202,6 +212,11 @@ class CrawlRunner:
         listing_batch, listing_overflow = politeness_topk(
             listing_batch, 1, ["depth", "priority", "url_hash"]
         )
+        n_parts = spark.sparkContext.defaultParallelism * 2
+        # extract parallelism rides the fetch output partitioning: for the
+        # corpus fetcher that is the parquet scan (split size tuned down in
+        # session.py — shuffling the html column would cost more than it
+        # buys); a host-partitioned HttpFetcher brings its own partitioning
         fetched = self.fetcher.fetch(listing_batch.select("url", "host", "depth"))
         lres = extract_listing_stage(fetched, self.config.listing).join(
             listing_batch.select("url", "host", "depth"), "url"
@@ -246,16 +261,24 @@ class CrawlRunner:
         deduped = dedup_within_batch(
             valid_items, ["depth", "listing_host", "item_index"]
         )
-        seen_session = self.wh.read("seen_session", schemas.SEEN)
-        session_new, _ = anti_join_seen(deduped, seen_session)
+        # skip the anti-join shuffles entirely when the seen tables are
+        # provably empty (fresh session round 1) — tracked in snapshot props
+        sess_seen_count = int(self.wh.props.get("session_seen_count", "0"))
+        if sess_seen_count > 0:
+            seen_session = self.wh.read("seen_session", schemas.SEEN)
+            session_new, _ = anti_join_seen(deduped, seen_session)
+        else:
+            session_new = deduped
 
         # J2 persistent dedup against stored pages (bloom + exact)
-        seen = self.wh.read("seen", schemas.SEEN)
-        bloom = None
         seen_count = int(self.wh.props.get("seen_count", "0"))
-        if opt.skip_existing_urls and seen_count >= opt.use_bloom_over:
-            bloom = BloomFilter.build(seen, "url_hash", seen_count, opt.bloom_fpp)
-        if opt.skip_existing_urls:
+        bloom = None
+        if opt.skip_existing_urls and seen_count > 0:
+            seen = self.wh.read("seen", schemas.SEEN)
+            if seen_count >= opt.use_bloom_over:
+                bloom = BloomFilter.build(
+                    seen, "url_hash", seen_count, opt.bloom_fpp
+                )
             to_process, _ = anti_join_seen(session_new, seen, bloom=bloom)
         else:
             to_process = session_new
@@ -288,53 +311,85 @@ class CrawlRunner:
             .groupBy(F.col("listing_host").alias("host"))
             .agg(F.count("*").alias("n_date_err"))
         )
-        stats = {
-            row["host"]: row.asDict()
-            for row in page_stats.join(new_per_host, "host", "left")
+        # per-host round state stays DISTRIBUTED (at 10^10 scale millions of
+        # hosts are active per round — never collected); the driver sees one
+        # aggregate row. Stop decisions are columns (reference stop enum,
+        # MetadataTracker.ts:32-37; all_duplicates precedence per
+        # ArticleListingCrawler.ts:260-286, evaluated BEFORE the
+        # pagesProcessed increment).
+        host_round = (
+            page_stats.join(new_per_host, "host", "left")
             .join(date_err_per_host, "host", "left")
             .fillna(0, ["n_new", "n_date_err"])
-            .collect()
-        }
+        )
+        stop_col = F.when(
+            (F.col("n_items") > 0)
+            & (F.col("n_new") == 0)
+            & F.lit(opt.stop_on_all_duplicates),
+            F.lit("all_duplicates"),
+        )
+        if opt.max_pages:
+            stop_col = stop_col.when(
+                F.col("depth") >= opt.max_pages, F.lit("max_pages")
+            )
+        stop_col = stop_col.when(F.col("next_url").isNull(), F.lit("no_next_button"))
+        host_round = host_round.withColumn("stop_reason", stop_col).cache()
 
-        # host stop decisions (reference stop enum, per host)
-        stopped: dict[str, str] = {}
-        next_listings = []
-        for host, s in stats.items():
-            if (
-                s["n_items"] > 0
-                and s["n_new"] == 0
-                and opt.stop_on_all_duplicates
-            ):
-                # ALL_DUPLICATES fires BEFORE pagesProcessed increments
-                # (ArticleListingCrawler.ts:260-286)
-                stopped[host] = "all_duplicates"
-                continue
-            self.summary.pages_processed += 1
-            if opt.max_pages and s["depth"] >= opt.max_pages:
-                stopped[host] = "max_pages"
-            elif not s["next_url"]:
-                stopped[host] = "no_next_button"
-            else:
-                next_listings.append((s["next_url"], s["depth"] + 1))
+        g = host_round.agg(
+            F.count("*").alias("n_hosts"),
+            F.sum(
+                (~F.col("stop_reason").eqNullSafe("all_duplicates")).cast("long")
+            ).alias("pages_inc"),
+            F.sum("n_excluded").alias("n_excluded"),
+            F.sum(F.col("n_filtered") + F.col("n_excluded")).alias("n_filtered"),
+            F.sum("n_date_err").alias("n_date_err"),
+            F.sum("n_items").alias("n_items"),
+            F.sum("n_new").alias("n_new"),
+            F.sum(
+                F.col("stop_reason").eqNullSafe("all_duplicates").cast("long")
+            ).alias("stop_all_dup"),
+            F.sum(
+                F.col("stop_reason").eqNullSafe("max_pages").cast("long")
+            ).alias("stop_max_pages"),
+            F.sum(
+                F.col("stop_reason").eqNullSafe("no_next_button").cast("long")
+            ).alias("stop_no_next"),
+        ).collect()[0]
+        tick("listing+dedup stats collect")
 
-        all_dup_hosts = {h for h, v in stopped.items() if v == "all_duplicates"}
         # processPageItems updates ALL counters before the caller's
         # all-duplicates break (ArticleListingCrawler.ts:58-96, 260-286), so
-        # excluded/filtered/dup stats count for every page, stopped or not
-        for s in stats.values():
-            self.summary.urls_excluded += s["n_excluded"]
-            # tracker's totalFilteredItems counts excluded containers too
-            # (filteredItems includes isExcluded, ListingPageExtractor.ts:230-235)
-            self.summary.total_filtered += s["n_filtered"] + s["n_excluded"]
-            self.summary.listing_errors += s["n_date_err"]
-        n_page_items = sum(s["n_items"] for s in stats.values())
-        n_new_total = sum(s["n_new"] for s in stats.values())
+        # excluded/filtered/dup stats count for every page, stopped or not.
+        # totalFilteredItems counts excluded containers too (filteredItems
+        # includes isExcluded, ListingPageExtractor.ts:230-235).
+        self.summary.pages_processed += int(g["pages_inc"] or 0)
+        self.summary.urls_excluded += int(g["n_excluded"] or 0)
+        self.summary.total_filtered += int(g["n_filtered"] or 0)
+        self.summary.listing_errors += int(g["n_date_err"] or 0)
+        n_page_items = int(g["n_items"] or 0)
+        n_new_total = int(g["n_new"] or 0)
         self.summary.duplicates_skipped += n_page_items - n_new_total
+        n_hosts_active = int(g["n_hosts"] or 0)
+        for reason, col in (
+            ("all_duplicates", "stop_all_dup"),
+            ("max_pages", "stop_max_pages"),
+            ("no_next_button", "stop_no_next"),
+        ):
+            c = int(g[col] or 0)
+            if c:
+                self.summary.host_stops[reason] = (
+                    self.summary.host_stops.get(reason, 0) + c
+                )
 
         # ---- content schedule ----------------------------------------------
-        base = to_process
-        if all_dup_hosts:
-            base = base.where(~F.col("listing_host").isin(list(all_dup_hosts)))
+        all_dup_hosts_df = host_round.where(
+            F.col("stop_reason").eqNullSafe("all_duplicates")
+        ).select("host")
+        base = to_process.join(
+            all_dup_hosts_df.withColumnRenamed("host", "listing_host"),
+            "listing_host",
+            "left_anti",
+        )
         to_fetch_new = base.select(
             "url", "url_canon", "url_hash", "host", "host_hash",
             F.col("depth"),
@@ -355,33 +410,60 @@ class CrawlRunner:
             ["depth", "listing_order", "url_hash"],
         )
         allowed, blocked = robots_gate(scheduled, self.robots)
+        tick("driver stop logic")
 
         # ---- fetch + extract (the hot path) ---------------------------------
-        n_parts = spark.sparkContext.defaultParallelism
-        allowed = salt_hot_hosts(allowed, n_parts, opt.salt_factor)
+        # corpus-fetcher output is scan-partitioned (host-agnostic, already
+        # balanced). Salting applies when the fetcher partitions BY host
+        # (politeness-preserving HTTP fetch): there a hot domain serializes
+        # one task, so spread it across salt_factor tasks first.
         fetched_c = self.fetcher.fetch(allowed)
+        if getattr(self.fetcher, "host_partitioned", False):
+            fetched_c = salt_hot_hosts(fetched_c, n_parts, opt.salt_factor)
         extracted = extract_content_stage(fetched_c, self.config.content)
 
         # mergeContentData semantics (ContentDataMapper.ts:8-26): content
         # page fields override listing fields where non-null
+        content_field_names = [
+            n for n in ("title", "author", "content")
+            if n in self.config.content.fields
+        ]
+        failed_fields = F.filter(
+            F.array(
+                *[
+                    F.when(F.col(f"{n}_x").isNull(), F.lit(n))
+                    for n in content_field_names
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
         merged = (
             extracted.withColumn("title_f", F.coalesce("title_x", "title"))
             .withColumn("author_f", F.coalesce("author_x", "author"))
+            .withColumn("failed_fields", failed_fields)
             .withColumn(
                 "had_err",
                 F.col("html").isNull() | (F.size("extraction_errors") > 0),
             )
         )
 
-        # W1: deterministic global order = (round, host, listing position)
+        # W1: deterministic global order = (round, host, listing position).
+        # Assigned on the PRE-FETCH candidate set (order keys are data known
+        # before the fetch), broadcast-joined onto the extracted output —
+        # the heavy content column is never cached or shuffled.
         offset = int(self.wh.props.get("order_offset", "0"))
         cleanup: list = []
-        ordered = assign_sequential_order(
-            merged,
+        tick("build content plan")
+        ordered_light = assign_sequential_order(
+            allowed.select("url_hash", "depth", "host", "listing_order"),
             ["depth", "host", "listing_order", "url_hash"],
             offset=offset,
             cleanup=cleanup,
-        ).cache()
+        )
+        ordered = merged.join(
+            F.broadcast(ordered_light.select("url_hash", "processed_order")),
+            "url_hash",
+        )
 
         pages_out = ordered.select(
             F.xxhash64("url_hash").alias("id"),
@@ -399,11 +481,79 @@ class CrawlRunner:
             F.lit(self.start_time).alias("created_at"),
             F.col("had_err").alias("had_extraction_error"),
             "processed_order",
+            "partition_id",
+            "fetch_ms",
+            "parse_ms",
+            "failed_fields",
         )
-        pages_out = pages_out.cache()
-        n_stored = pages_out.count()
-        n_errors = pages_out.where("had_extraction_error").count()
-        n_blocked = blocked.count()
+        tick("assign order (pre-fetch keys)")
+
+        # ---- THE single heavy pass: fetch→extract→write pages ---------------
+        # Everything downstream (counters, lineage, seen, metrics, field
+        # stats) derives from column-pruned reads of the files just written —
+        # the write-once-derive-from-storage shape Iceberg pipelines use; no
+        # multi-GB executor cache of article bodies.
+        pages_dir = self.wh.append(
+            "pages", pages_out.select(*schemas.PAGES_OUT.names)
+        )
+        tick("fetch+extract+write pages")
+
+        # fetch-miss candidates (dropped by inner-join fetchers): stored
+        # with an extraction-error flag, exactly like the reference's
+        # failed content loads (ContentPageExtractor.ts:137-140 →
+        # updateItemMetadata → stored with hadContentExtractionError)
+        if not getattr(self.fetcher, "returns_misses", True):
+            fetched_hashes = spark.read.parquet(pages_dir).select("url_hash")
+            missed = (
+                allowed.join(fetched_hashes, "url_hash", "left_anti")
+                .join(
+                    F.broadcast(
+                        ordered_light.select("url_hash", "processed_order")
+                    ),
+                    "url_hash",
+                )
+                .select(
+                    F.xxhash64("url_hash").alias("id"),
+                    F.sha1(F.col("url")).alias("hash"),
+                    F.lit(self.config.id).alias("source"),
+                    "url",
+                    "url_hash",
+                    "host",
+                    "host_hash",
+                    F.col("title"),
+                    F.col("author"),
+                    "published_date",
+                    F.lit(None).cast("string").alias("content"),
+                    F.lit(self.start_time).alias("crawled_at"),
+                    F.lit(self.start_time).alias("created_at"),
+                    F.lit(True).alias("had_extraction_error"),
+                    "processed_order",
+                    F.lit(-1).alias("partition_id"),
+                    F.lit(0.0).alias("fetch_ms"),
+                    F.lit(0.0).alias("parse_ms"),
+                    (
+                        F.array([F.lit(n) for n in content_field_names])
+                        if content_field_names
+                        else F.lit(None).cast("array<string>")
+                    ).alias("failed_fields"),
+                )
+            )
+            miss_dir = self.wh.append(
+                "pages", missed.select(*schemas.PAGES_OUT.names)
+            )
+            stored = spark.read.parquet(pages_dir, miss_dir)
+        else:
+            stored = spark.read.parquet(pages_dir)
+        tick("fetch-miss reconcile")
+
+        stored_row = stored.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("had_extraction_error").cast("long")).alias("errs"),
+        ).collect()[0]
+        n_stored = stored_row["n"]
+        n_errors = int(stored_row["errs"] or 0)
+        n_blocked = blocked.count() if self.robots is not None else 0
+        tick("stored agg")
 
         self.summary.contents_crawled += n_stored
         self.summary.items_processed += n_stored
@@ -411,16 +561,10 @@ class CrawlRunner:
         self.summary.robots_blocked += n_blocked
         self.summary.rounds = r
 
-        # ---- writes + snapshot commit ---------------------------------------
-        self.wh.append(
-            "pages",
-            pages_out.drop("processed_order").repartition(
-                max(1, n_parts // 2), "host_hash"
-            ),
-        )
+        # ---- lineage writes (pruned scans of the round's files) -------------
         self.wh.append(
             "session_content",
-            pages_out.select(
+            stored.select(
                 F.lit(self.session_id).alias("session_id"),
                 F.col("id").alias("content_id"),
                 "processed_order",
@@ -429,13 +573,13 @@ class CrawlRunner:
                 ),
             ),
         )
-        self.wh.append("seen", pages_out.select("url_hash"))
+        self.wh.append("seen", stored.select("url_hash"))
         self.wh.append(
             "seen_session", session_new.select("url_hash").distinct()
         )
         # per-partition lineage metrics (north_rule)
         part_metrics = (
-            ordered.groupBy("partition_id")
+            stored.groupBy("partition_id")
             .agg(
                 F.count("*").alias("contents_crawled"),
                 F.sum("fetch_ms").alias("fetch_ms"),
@@ -448,12 +592,8 @@ class CrawlRunner:
                 F.lit(n_page_items).alias("items_found"),
                 F.lit(n_stored).alias("items_processed"),
                 F.lit(n_page_items - n_new_total).alias("duplicates_skipped"),
-                F.lit(sum(s["n_excluded"] for s in stats.values())).alias(
-                    "urls_excluded"
-                ),
-                F.lit(sum(s["n_filtered"] for s in stats.values())).alias(
-                    "total_filtered"
-                ),
+                F.lit(int(g["n_excluded"] or 0)).alias("urls_excluded"),
+                F.lit(int(g["n_filtered"] or 0)).alias("total_filtered"),
                 "contents_crawled",
                 "fetch_ms",
                 "parse_ms",
@@ -461,46 +601,97 @@ class CrawlRunner:
         )
         self.wh.append("metrics", part_metrics.select(*schemas.METRICS.names))
 
-        # frontier: remaining listing overflow + next pages + content overflow
-        next_df = (
-            self._seed_rows(next_listings)
-            if next_listings
-            else spark.createDataFrame([], schemas.FRONTIER)
+        # A5/W2: per-field content extraction stats with 1-based missing-item
+        # indices (ContentDataMapper.ts:31-55; offset semantics of
+        # ListingPageExtractor.ts:307). Index = processed_order (the global
+        # 1-based item counter the reference threads through as itemOffset).
+        field_rows = []
+        for fname in content_field_names:
+            fc = self.config.content.fields.get(fname)
+            if fc is None:
+                continue
+            failed = F.array_contains(F.col("failed_fields"), fname)
+            field_rows.append(
+                stored.agg(
+                    F.sum((~failed).cast("long")).alias("success_count"),
+                    F.count("*").alias("total_attempts"),
+                    F.slice(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(failed, F.col("processed_order"))
+                            )
+                        ),
+                        1,
+                        10_000,  # bound per-round list growth
+                    ).alias("missing_items"),
+                ).select(
+                    F.lit(self.session_id).alias("session_id"),
+                    F.lit(r).alias("round"),
+                    F.lit("content").alias("stage"),
+                    F.lit(fname).alias("field_name"),
+                    "success_count",
+                    "total_attempts",
+                    F.lit(fc.optional).alias("is_optional"),
+                    "missing_items",
+                )
+            )
+        if field_rows:
+            fs = field_rows[0]
+            for extra in field_rows[1:]:
+                fs = fs.unionByName(extra)
+            self.wh.append(
+                "field_stats", fs.select(*schemas.FIELD_STATS.names)
+            )
+
+        tick("appends: pages/lineage/seen/metrics")
+        # frontier: remaining listing overflow + next pages + content
+        # overflow — next listing pages derived DISTRIBUTED from host_round
+        # (never a driver-side url list)
+        next_df = self._frontier_listing_rows(
+            host_round.where(
+                F.col("stop_reason").isNull() & F.col("next_url").isNotNull()
+            ).select(
+                F.col("next_url").alias("url"),
+                (F.col("depth") + 1).alias("depth"),
+            )
         )
         new_pending = listing_overflow.unionByName(next_df).unionByName(
             content_overflow
         )
         self.wh.replace("frontier_pending", new_pending.select(*schemas.FRONTIER.names))
 
-        if stopped:
-            # per-host stop lineage (scales: a table, not driver state)
-            self.wh.append(
-                "host_state",
-                spark.createDataFrame(
-                    [(h, int(stats[h]["depth"]), v) for h, v in stopped.items()],
-                    "host string, pages_processed long, stopped_reason string",
-                ),
-            )
-            for v in stopped.values():
-                self.summary.host_stops[v] = self.summary.host_stops.get(v, 0) + 1
-
+        # per-host stop lineage (a table, not driver state)
+        self.wh.append(
+            "host_state",
+            host_round.where(F.col("stop_reason").isNotNull()).select(
+                "host",
+                F.col("depth").cast("long").alias("pages_processed"),
+                "stop_reason",
+            ).withColumnRenamed("stop_reason", "stopped_reason"),
+        )
+        tick("frontier replace + host_state")
         self.wh.set_prop("round", str(r))
         self.wh.set_prop("order_offset", str(offset + n_stored))
         self.wh.set_prop(
             "seen_count", str(int(self.wh.props.get("seen_count", "0")) + n_stored)
         )
+        # upper bound; only its zero/non-zero state gates the anti-join skip
+        self.wh.set_prop(
+            "session_seen_count", str(sess_seen_count + n_page_items)
+        )
         self.wh.set_prop("summary", self.summary.to_json())
         self._write_session_row(ended=False)
         self.wh.commit(f"round-{r}")
 
-        for c in (lres, valid_items, to_process, pages_out, ordered, *cleanup):
+        tick("session row + commit")
+        for c in (lres, valid_items, to_process, host_round, *cleanup):
             c.unpersist()
 
         # was there any work this round?
-        return bool(stats) or n_stored > 0 or n_blocked > 0
+        return n_hosts_active > 0 or n_stored > 0 or n_blocked > 0
 
-    def _seed_rows(self, url_depths: list[tuple[str, int]]) -> DataFrame:
-        df = self.spark.createDataFrame(url_depths, "url string, depth int")
+    def _frontier_listing_rows(self, df: DataFrame) -> DataFrame:
+        """(url, depth) DataFrame → full FRONTIER-schema listing rows."""
         return (
             self._with_url_cols(df)
             .withColumn("priority", F.lit(0.0))

@@ -1,0 +1,304 @@
+"""Deduplication operators over document corpora (training-data pipeline).
+
+All variants are expressed with built-in DataFrame ops (shuffle-on-key
+group-bys and joins; no Python in the hot path) and have exact DuckDB-SQL
+oracles. The cross-engine shared hash is ``H(x) = bigint(md5(x)[0:14])``
+(56 bits) — computable identically in Spark (``conv(...,16,10)``) and
+DuckDB (``('0x'||substr(md5(x),1,14))::ubigint``).
+
+- exact dedup: hash-groupBy on a normalized-text digest, keep min id
+- n-gram Jaccard: word-shingle self-join → pair Jaccard ≥ t
+- MinHash + LSH: k=32 signatures, 16 bands × 2 rows → band-bucket join →
+  exact-Jaccard verify (bands sized so recall ≈ 1 at t=0.8: a pair with
+  J=0.8 is missed with prob (1-0.8²)^16 ≈ 8e-8)
+- SimHash: 56-bit sign-aggregated token hash + Hamming-distance pairs
+
+Scale notes: the shingle explode multiplies rows ~50×; partitioning stays
+on doc id until the shingle group-by shuffles on shingle hash. Band join
+keys are (band_idx, band_hash) — hot buckets (boilerplate shingles) are the
+skew risk; the LSH path caps bucket width with a group-size filter exactly
+like production near-dup pipelines drop stop-shingles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+P61 = (1 << 61) - 1  # Mersenne prime for affine rehash
+# banding sized for recall ≈ 1 down to J=0.6: miss prob (1-J²)^32 ≈ 7e-7
+N_HASHES = 64
+N_BANDS = 32  # × 2 rows
+
+
+def h56(c: Column) -> Column:
+    """Shared 56-bit hash: bigint of the first 14 hex chars of md5."""
+    return F.conv(F.substring(F.md5(c), 1, 14), 16, 10).cast("long")
+
+
+def normalized(c: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest id per identical normalized text; emit group size."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"), F.md5(normalized(F.col(text_col))).alias("digest")
+        )
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("group_size"),
+        )
+        .select("keep_id", "group_size")
+        .orderBy("keep_id")
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """(doc_id, shingle_hash) distinct — word n-grams via sequence+slice,
+    all JVM-side (no UDF)."""
+    words = F.split(normalized(F.col(text_col)), " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .select("doc_id", h56(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+
+
+def _pair_jaccard(shingles: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over pairs sharing ≥1 shingle (a < b)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.8
+) -> DataFrame:
+    """Brute-force near-duplicate pairs (the oracle-exact baseline)."""
+    return _pair_jaccard(word_shingles(df, id_col, text_col, n), threshold)
+
+
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """k fully-mixed rehashes min-aggregated per doc — one shuffle, then an
+    Arrow-batched numpy splitmix64 kernel over each doc's shingle set.
+
+    NOT an affine family ((a·s+b) mod p): with a ≪ p the product never
+    wraps, the map is order-preserving, and every hash would pick the same
+    min shingle — zero independence (a real bug this module had). splitmix64
+    re-mixes all 64 bits per hash index; per-row deterministic, so the
+    result is independent of partitioning."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_hashes = N_HASHES
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(shs: pd.Series) -> pd.Series:
+        C1 = np.uint64(0xBF58476D1CE4E5B9)
+        C2 = np.uint64(0x94D049BB133111EB)
+        GOLD = np.uint64(0x9E3779B97F4A7C15)
+        out = []
+        with np.errstate(over="ignore"):
+            for arr in shs:
+                s = np.asarray(arr, dtype=np.uint64)
+                mins = np.empty(n_hashes, dtype=np.uint64)
+                for i in range(n_hashes):
+                    z = s + np.uint64(i + 1) * GOLD
+                    z = (z ^ (z >> np.uint64(30))) * C1
+                    z = (z ^ (z >> np.uint64(27))) * C2
+                    z = z ^ (z >> np.uint64(31))
+                    mins[i] = z.min()
+                # >>1 keeps values in signed-long range for the LongType col
+                out.append((mins >> np.uint64(1)).astype(np.int64))
+        return pd.Series(out)
+
+    return (
+        shingles.groupBy("doc_id")
+        .agg(F.collect_list("sh").alias("shs"))
+        .select("doc_id", sig(F.col("shs")).alias("mh"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash+LSH candidates (banded buckets), exact-Jaccard verified.
+    Output identical to ``ngram_jaccard_pairs`` whenever LSH recall is 1 —
+    which the band sizing guarantees up to ~1e-7 per pair at J ≥ 0.6.
+
+    ``max_bucket``: optional cap that drops LSH buckets wider than this
+    (skew guard for web-scale boilerplate clusters — a bucket of B docs
+    yields B² candidate pairs). Off by default: dropping a bucket drops
+    recall for every pair inside it, so enable it only when the B² blowup
+    is the greater evil and dedup of a boilerplate cluster can rely on the
+    exact-dedup pass instead."""
+    shingles = word_shingles(df, id_col, text_col, n).cache()
+    sigs = minhash_signatures(shingles)
+    rows_per_band = N_HASHES // N_BANDS
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ":",
+                *[
+                    F.col("mh")[b * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ],
+            ).alias("sig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    if max_bucket is not None:
+        buckets = buckets.join(
+            buckets.groupBy("band", "sig")
+            .agg(F.count("*").alias("w"))
+            .where(F.col("w") <= max_bucket)
+            .select("band", "sig"),
+            ["band", "sig"],
+        )
+    a, b2 = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verify only the candidates (semi-join prune both sides)
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select("doc_b"))
+        .distinct()
+    )
+    pruned = shingles.join(cand_docs, "doc_id", "left_semi")
+    verified = _pair_jaccard(pruned, threshold)
+    return verified.join(candidates, ["doc_a", "doc_b"], "left_semi").orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+SIMHASH_BITS = 56
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """56-bit SimHash over word tokens (sign-aggregated bit votes), pure
+    Column expressions — identically expressible in DuckDB SQL."""
+    words = F.split(normalized(F.col(text_col)), " ")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words).alias("w")
+    ).select("doc_id", h56(F.col("w")).alias("hw"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("hw"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select("doc_id", sig.alias("simhash")).orderBy("doc_id")
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k. Pair generation uses
+    (k+1)-segment pigeonhole blocking: a pair within distance k must agree
+    exactly on ≥1 of k+1 disjoint segments — the scalable alternative to a
+    cross join."""
+    sigs = simhash(df, id_col, text_col)
+    n_segs = max_hamming + 1
+    width = SIMHASH_BITS // n_segs
+    seg_cols = [
+        F.struct(
+            F.lit(s).alias("seg"),
+            F.shiftright(F.col("simhash"), s * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
+        )
+        for s in range(n_segs)
+    ]
+    blocked = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*seg_cols)).alias("bk")
+    ).select("doc_id", "simhash", "bk.seg", "bk.key")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, (F.col("a.seg") == F.col("b.seg")) & (F.col("a.key") == F.col("b.key")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def with_near_dup_copies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Test-harness helper: union deterministic near-duplicate copies
+    (drop the last word; id + 10_000_000) so near-dup operators have
+    positives to find. Same expression exists in the SQL oracles."""
+    copies = df.select(
+        (F.col(id_col) + 10_000_000).alias(id_col),
+        F.regexp_replace(F.col(text_col), r"\s+\S+\s*$", "").alias(text_col),
+    )
+    return df.select(id_col, text_col).unionByName(copies)

@@ -71,6 +71,16 @@ PAGES_OUT = StructType(
         StructField("crawled_at", TimestampType()),
         StructField("created_at", TimestampType()),
         StructField("had_extraction_error", BooleanType()),
+        # lineage extras (written in the same single pass; downstream
+        # session_content/seen/metrics/field-stats derive from column-pruned
+        # reads of this table instead of re-caching the heavy content)
+        StructField("processed_order", LongType()),
+        StructField("partition_id", IntegerType()),
+        StructField("fetch_ms", DoubleType()),
+        StructField("parse_ms", DoubleType()),
+        # per-item failed content fields (reference metadata.contentFieldsFailed,
+        # ContentDataMapper.ts:58-75)
+        StructField("failed_fields", ArrayType(StringType())),
     ]
 )
 

@@ -35,12 +35,25 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # html rows are ~10-100KB: 10k-row Arrow batches would materialize
+        # ~GB pandas frames per worker and thrash the allocator at high
+        # concurrency (measured); 1024 keeps batches ~30-100MB
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("ETHOS_ARROW_BATCH", "1024"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("ETHOS_DRIVER_MEM", "8g"))
+        .config("spark.locality.wait", "0s")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # smaller splits than the 128MB default: the crawl corpus carries a
+        # wide binary html column, and fetch/extract parallelism comes from
+        # scan splits (shuffling html to repartition would cost more)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("ETHOS_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -33,7 +33,13 @@ import pandas as pd
 from ethos_spark.schemas import PAGES_INPUT
 from ethos_spark.sources.config import SYNTH_SOURCE
 
+import os
+
 SEED = 42
+# multiplies paragraphs per article (heavier, realistic page sizes for
+# benchmarking); must be identical at generation and consumption time —
+# the golden text is computed at generation so correctness is unaffected
+PARA_BOOST = int(os.environ.get("ETHOS_SYNTH_PARA_BOOST", "1"))
 LANGS = ["en"] * 19 + ["sv"] * 1  # 95% en
 SECTIONS = ["tech", "policy", "privacy", "security"]
 ADJ = "quick quiet bright hidden open silent global local digital private".split()
@@ -119,7 +125,7 @@ def _paragraph(h: int, i: int, j: int) -> str:
 
 def article_body_html(h: int, i: int) -> str:
     blocks = [f"<h2>Background {i % 7}</h2>"]
-    for j in range((_h(h, i, "np") % 3) + 2):
+    for j in range(((_h(h, i, "np") % 3) + 2) * PARA_BOOST):
         blocks.append(_paragraph(h, i, j))
     if _h(h, i, "list") % 3 == 0:
         lis = "".join(
@@ -211,6 +217,11 @@ def listing_items_spec(h: int, p: int, article_count: int) -> list[dict]:
             it["omit_url"] = True  # missing required field → validation reject
         elif k == 5:
             it["omit_title"] = True
+        elif k == 6:
+            # dead link: content page does not exist → fetch miss, item
+            # stored with extraction error (ContentPageExtractor.ts:137-140)
+            ghost = f"https://{host_name(h)}/tech/ghost-{i}"
+            it = {**it, "url": ghost, "href": ghost}
         items.append(it)
     return items
 
@@ -270,19 +281,41 @@ def corpus_spec(n_hosts: int, total_articles: int) -> list[tuple[int, int]]:
     return list(enumerate(zipf_article_counts(n_hosts, total_articles)))
 
 
-def build_pages_df(spark, n_hosts: int, total_articles: int, parallelism: int = 0):
-    """Distributed generation of the canonical pages table."""
+def build_pages_df(
+    spark,
+    n_hosts: int,
+    total_articles: int,
+    parallelism: int = 0,
+    golden_text: bool = True,
+):
+    """Distributed generation of the canonical pages table.
+
+    ``golden_text=False`` skips computing the expected-markdown ``text``
+    column (the most expensive generation step) — for benchmark corpora
+    where only the crawl path runs, not the byte-identity check."""
     from ethos_spark.extraction.content import extract_content_fields
 
-    counts = zipf_article_counts(n_hosts, total_articles)
-    # flatten (host, idx) tasks: article rows then listing rows
-    tasks: list[tuple[int, int, int]] = []  # (kind 0=article 1=listing, h, i)
-    for h, c in enumerate(counts):
-        tasks.extend((0, h, i) for i in range(c))
-        tasks.extend((1, h, p) for p in range(1, n_listing_pages(c) + 1))
+    import pyspark.sql.functions as F
 
+    counts = zipf_article_counts(n_hosts, total_articles)
     n_parts = parallelism or spark.sparkContext.defaultParallelism
     counts_b = spark.sparkContext.broadcast(counts)
+
+    # expand (host, count) → (kind, h, i) JVM-side: the driver ships only
+    # the per-host spec, never a row-per-page list
+    spec = spark.createDataFrame(
+        [(h, c, n_listing_pages(c)) for h, c in enumerate(counts)],
+        "h int, n_articles int, n_listings int",
+    )
+    articles = spec.select(
+        F.lit(0).alias("kind"), "h",
+        F.explode(F.sequence(F.lit(0), F.col("n_articles") - 1)).alias("i"),
+    )
+    listings = spec.select(
+        F.lit(1).alias("kind"), "h",
+        F.explode(F.sequence(F.lit(1), F.col("n_listings"))).alias("i"),
+    )
+    task_df = articles.unionByName(listings).repartition(n_parts)
 
     def gen(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in iterator:
@@ -290,13 +323,19 @@ def build_pages_df(spark, n_hosts: int, total_articles: int, parallelism: int = 
             for kind, h, i in pdf[["kind", "h", "i"]].itertuples(index=False):
                 if kind == 0:
                     html = article_html(h, i)
-                    fields = extract_content_fields(html, SYNTH_SOURCE.content)
+                    text = (
+                        extract_content_fields(html, SYNTH_SOURCE.content).get(
+                            "content"
+                        )
+                        if golden_text
+                        else None
+                    )
                     rows.append(
                         {
                             "url": article_url(h, i),
                             "warc_ts": warc_ts(h, i),
                             "html": html.encode("utf-8"),
-                            "text": fields.get("content"),
+                            "text": text,
                             "lang": lang_of(h, i),
                         }
                     )
@@ -313,7 +352,4 @@ def build_pages_df(spark, n_hosts: int, total_articles: int, parallelism: int = 
                     )
             yield pd.DataFrame(rows)
 
-    task_df = spark.createDataFrame(
-        [(k, h, i) for k, h, i in tasks], "kind int, h int, i int"
-    ).repartition(n_parts)
     return task_df.mapInPandas(gen, PAGES_INPUT)

@@ -66,17 +66,13 @@ def test_single_host_full_parity(spark, warehouse, corpus_df):
     runner, summary = _run_crawl(spark, warehouse, corpus_df, [listing_url(0, 1)])
     sim = _sim(0)
 
-    eng = (
-        warehouse.read("pages")
-        .join(
-            warehouse.read("session_content").select(
-                F.col("content_id").alias("id"), "processed_order"
-            ),
-            "id",
-        )
-        .orderBy("processed_order")
-        .collect()
-    )
+    # pages carries processed_order natively; cross-check vs the junction
+    eng = warehouse.read("pages").orderBy("processed_order").collect()
+    junction = {
+        r.content_id: r.processed_order
+        for r in warehouse.read("session_content").collect()
+    }
+    assert all(junction[e.id] == e.processed_order for e in eng)
     assert len(eng) == len(sim.items) == sim.items_processed
     for e, s in zip(eng, sim.items):
         assert e.processed_order == s.processed_order
@@ -109,17 +105,7 @@ def test_multi_host_per_chain_parity(spark, warehouse, corpus_df):
     seeds = [listing_url(h, 1) for h in range(N_HOSTS)]
     runner, summary = _run_crawl(spark, warehouse, corpus_df, seeds)
 
-    eng = (
-        warehouse.read("pages")
-        .join(
-            warehouse.read("session_content").select(
-                F.col("content_id").alias("id"), "processed_order"
-            ),
-            "id",
-        )
-        .orderBy("processed_order")
-        .collect()
-    )
+    eng = warehouse.read("pages").orderBy("processed_order").collect()
     sims = {h: _sim(h) for h in range(N_HOSTS)}
     assert len(eng) == sum(s.items_processed for s in sims.values())
     # global processed_order must be exactly 1..N
@@ -230,16 +216,10 @@ def test_resume_from_checkpoint(spark, tmp_path, corpus_df):
     assert s2.items_processed == full.items_processed
     a = sorted(
         (r.processed_order, r.url)
-        for r in wh_a.read("session_content")
-        .join(wh_a.read("pages"), F.col("content_id") == F.col("id"))
-        .select("processed_order", "url")
-        .collect()
+        for r in wh_a.read("pages").select("processed_order", "url").collect()
     )
     b = sorted(
         (r.processed_order, r.url)
-        for r in wh_b2.read("session_content")
-        .join(wh_b2.read("pages"), F.col("content_id") == F.col("id"))
-        .select("processed_order", "url")
-        .collect()
+        for r in wh_b2.read("pages").select("processed_order", "url").collect()
     )
     assert a == b
