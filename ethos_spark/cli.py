@@ -60,6 +60,14 @@ def main(argv: list[str] | None = None) -> int:
         from ethos_spark.crawl.runner import CrawlOptions, CrawlRunner
         from ethos_spark.sources.config import SOURCES
 
+        if args.source not in SOURCES:
+            print(
+                f"unknown source {args.source!r}; available: "
+                + ", ".join(sorted(SOURCES)),
+                file=sys.stderr,
+            )
+            spark.stop()
+            return 2
         config = SOURCES[args.source]
         runner = CrawlRunner(
             spark,

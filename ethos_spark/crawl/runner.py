@@ -559,7 +559,8 @@ class CrawlRunner:
         self.summary.items_processed += n_stored
         self.summary.items_with_errors += n_errors
         self.summary.robots_blocked += n_blocked
-        self.summary.rounds = r
+        if n_hosts_active or n_stored or n_blocked:
+            self.summary.rounds = r  # terminating no-op round not counted
 
         # ---- lineage writes (pruned scans of the round's files) -------------
         self.wh.append(

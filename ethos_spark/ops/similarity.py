@@ -7,6 +7,13 @@
   pandas UDF → candidates bucket-join → exact re-rank. The scale path: at
   10^9 vectors only bucket-mates pay the dot product. (No SQL oracle —
   approximate; the driver records a rows-only check.)
+
+  LSH caveat, measured: on ISOTROPIC random vectors (the driver's synthetic
+  embeddings table: max pairwise cosine ≈ 0.37) hyperplane collisions are
+  ≈ random and recall@k ≈ 0 — a property of the data, not the index; real
+  embedding corpora are strongly clustered, where recall is high
+  (demonstrated on clustered vectors in tests/test_similarity.py). For
+  sparse-similarity corpora use the brute-force operator or raise probes.
 - embedding near-duplicate pairs: cosine ≥ t over bucket-mates.
 """
 
@@ -69,7 +76,10 @@ def cosine_topk(
     )
 
 
-N_PLANES = 12
+# 2^8 = 256 buckets: sized so a 10^3-10^4-vector bucket population keeps
+# ~dozens of vectors per bucket; at 10^9 vectors raise toward 20-24 planes
+# (bucket count should track corpus size / desired candidate-list length)
+N_PLANES = 8
 
 
 def _hyperplanes(dim: int) -> np.ndarray:

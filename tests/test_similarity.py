@@ -1,0 +1,78 @@
+"""Similarity-search operators: exactness of brute force, and LSH-ANN
+recall on data satisfying LSH's clustering assumption."""
+
+import numpy as np
+import pytest
+
+from ethos_spark.ops import similarity as sim
+from ethos_spark.session import get_spark
+
+DIM, N_CLUSTERS, PER_CLUSTER = 32, 20, 40
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("test-sim", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Deterministic clustered vectors: near neighbors share a cluster."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((N_CLUSTERS, DIM))
+    rows = []
+    vid = 0
+    for c in range(N_CLUSTERS):
+        for _ in range(PER_CLUSTER):
+            v = centers[c] + 0.15 * rng.standard_normal(DIM)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+def test_brute_force_topk_exact(spark, clustered):
+    out = sim.cosine_topk(clustered, [0, 40, 80], k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    # exact top-k on clustered data returns same-cluster neighbors
+    labels = {r.vec_id: r.label for r in clustered.collect()}
+    for r in rows:
+        assert labels[r.q_id] == labels[r.neighbor_id]
+    # ranks are 1..5 per query, scores non-increasing
+    for q in (0, 40, 80):
+        qs = [r for r in rows if r.q_id == q]
+        assert [r.rank for r in qs] == [1, 2, 3, 4, 5]
+        scores = [r.score for r in qs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_ann_recall_on_clustered(spark, clustered):
+    qids = [0, 40, 80, 120, 160]
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in sim.cosine_topk(clustered, qids, k=5).collect()
+    }
+    ann = {
+        (r.q_id, r.neighbor_id)
+        for r in sim.lsh_ann_topk(clustered, qids, k=5, dim=DIM).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.8, f"ANN recall {recall} below 0.8 on clustered data"
+
+
+def test_embedding_near_dup_pairs(spark, clustered):
+    """Planted exact-duplicate vectors are found with score 1.0."""
+    import pyspark.sql.functions as F
+
+    dups = clustered.limit(3).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding", "label"
+    )
+    with_dups = clustered.unionByName(dups)
+    pairs = sim.embedding_near_dup_pairs(with_dups, threshold=0.999)
+    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    want = {(r.vec_id, r.vec_id + 100_000) for r in clustered.limit(3).collect()}
+    assert want <= got
