@@ -19,9 +19,12 @@ from pyspark.sql import DataFrame
 
 
 class Fetcher(Protocol):
-    def fetch(self, candidates: DataFrame) -> DataFrame:
+    def fetch(self, candidates: DataFrame, size_hint: int | None = None) -> DataFrame:
         """candidates (must contain ``url``) → same rows + ``html`` binary
-        (NULL = fetch failure) + ``fetch_ms`` double per-row amortized."""
+        (NULL = fetch failure) + ``fetch_ms`` double per-row amortized.
+        ``size_hint``: caller-known upper bound on the candidate row count
+        (the politeness window size) — lets the fetcher pick broadcast vs
+        shuffle join without an extra count job."""
         ...
 
 
@@ -31,9 +34,16 @@ class CorpusFetcher:
     ``host_partitioned = False``: output partitioning is the corpus scan
     (host-agnostic, balanced) — no hot-host salting needed downstream.
 
-    The join broadcasts the *candidate* side when it is the small side of
-    the round (typical: thousands of candidates vs a huge corpus) so the
-    corpus scan stays partition-local and prunes to the html column only.
+    Join strategy is SIZE-GATED: when the caller's ``size_hint`` says the
+    round's candidate set is small (≤ ``broadcast_max_rows``), the
+    candidate side is broadcast so the corpus scan stays partition-local
+    and the html column never shuffles. Above the gate — the design point
+    is millions of URLs per round, where a forced broadcast of every
+    scheduled URL is a driver/executor OOM — it falls back to a plain
+    url-keyed equi-join and lets Catalyst/AQE pick the physical strategy
+    (both sides hash-partition on the join key; at production scale the
+    corpus and frontier would be bucketed on url_hash to make this
+    shuffle-free). With no hint, the safe shuffle path is used.
     """
 
     host_partitioned = False
@@ -44,13 +54,23 @@ class CorpusFetcher:
     # serialize the extract stage.
     returns_misses = False
 
-    def __init__(self, corpus: DataFrame, broadcast_candidates: bool = True):
+    def __init__(
+        self,
+        corpus: DataFrame,
+        broadcast_candidates: bool = True,
+        broadcast_max_rows: int = 200_000,
+    ):
         self._corpus = corpus.select("url", "html")
         self._broadcast = broadcast_candidates
+        self._broadcast_max = broadcast_max_rows
 
-    def fetch(self, candidates: DataFrame) -> DataFrame:
+    def fetch(self, candidates: DataFrame, size_hint: int | None = None) -> DataFrame:
         cand = candidates
-        if self._broadcast:
+        if (
+            self._broadcast
+            and size_hint is not None
+            and size_hint <= self._broadcast_max
+        ):
             # corpus ⋈ broadcast(url-set) ⋈ broadcast(candidate cols):
             # the html column never shuffles; output keeps the corpus
             # scan's partitioning
@@ -76,8 +96,15 @@ class HttpFetcher:
         self.timeout_sec = timeout_sec
         self.delay_sec = delay_sec
 
-    def fetch(self, candidates: DataFrame) -> DataFrame:
+    def fetch(self, candidates: DataFrame, size_hint: int | None = None) -> DataFrame:
         timeout, delay = self.timeout_sec, self.delay_sec
+        # enforce the host_partitioned contract: hash-partition on host so
+        # one host's URLs land in one task and the per-request delay
+        # actually serializes requests to that host (politeness guarantee
+        # the flag advertises); without this the candidates arrive on
+        # whatever partitioning the frontier scan produced
+        if "host" in candidates.columns:
+            candidates = candidates.repartition(F.col("host"))
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import urllib.request

@@ -51,6 +51,11 @@ class CrawlOptions:
     use_bloom_over: int = 100_000  # exact-only below this seen cardinality
     round_delay_sec: float = 0.0  # politeness delay analogue (delaySec)
     max_rounds: int = 10_000  # safety backstop
+    # broadcast the round's candidate set into the fetch/order joins only
+    # below this row count; above it (million-URL rounds at the design
+    # point) fall back to a plain shuffle join on the key — a forced
+    # broadcast of every scheduled URL is a driver/executor OOM at scale
+    broadcast_max_rows: int = 200_000
 
 
 @dataclass
@@ -164,6 +169,10 @@ class CrawlRunner:
         self.wh.set_prop("round", "0")
         self.wh.set_prop("order_offset", "0")
         self.wh.set_prop("session_seen_count", "0")
+        # frontier-size hints: known row counts of the pending set, used to
+        # size-gate broadcasts next round without an extra count job
+        self.wh.set_prop("hint_listing", str(len(urls)))
+        self.wh.set_prop("hint_content", "0")
         self.wh.set_prop("summary", self.summary.to_json())
         self.wh.commit("seed")
 
@@ -206,6 +215,9 @@ class CrawlRunner:
         pending = self.wh.read("frontier_pending", schemas.FRONTIER)
         listing_batch = pending.where(F.col("kind") == "listing")
         content_carry = pending.where(F.col("kind") == "content")
+        props = self.wh.props
+        listing_hint = int(props["hint_listing"]) if "hint_listing" in props else None
+        carry_hint = int(props["hint_content"]) if "hint_content" in props else None
 
         # ---- listing pass --------------------------------------------------
         # one page per host per round (the reference's sequential chain)
@@ -217,7 +229,9 @@ class CrawlRunner:
         # corpus fetcher that is the parquet scan (split size tuned down in
         # session.py — shuffling the html column would cost more than it
         # buys); a host-partitioned HttpFetcher brings its own partitioning
-        fetched = self.fetcher.fetch(listing_batch.select("url", "host", "depth"))
+        fetched = self.fetcher.fetch(
+            listing_batch.select("url", "host", "depth"), size_hint=listing_hint
+        )
         lres = extract_listing_stage(fetched, self.config.listing).join(
             listing_batch.select("url", "host", "depth"), "url"
         )
@@ -417,7 +431,21 @@ class CrawlRunner:
         # balanced). Salting applies when the fetcher partitions BY host
         # (politeness-preserving HTTP fetch): there a hot domain serializes
         # one task, so spread it across salt_factor tasks first.
-        fetched_c = self.fetcher.fetch(allowed)
+        # upper bound on this round's content candidates: carried-over
+        # pending (tracked via frontier-write observation) + newly
+        # discovered (already collected in g) — politeness/robots only
+        # shrink it. Gates broadcast vs shuffle in fetch and order joins.
+        content_hint = (
+            carry_hint + n_new_total if carry_hint is not None else None
+        )
+        small_round = (
+            content_hint is not None and content_hint <= opt.broadcast_max_rows
+        )
+
+        def _maybe_broadcast(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if small_round else df
+
+        fetched_c = self.fetcher.fetch(allowed, size_hint=content_hint)
         if getattr(self.fetcher, "host_partitioned", False):
             fetched_c = salt_hot_hosts(fetched_c, n_parts, opt.salt_factor)
         extracted = extract_content_stage(fetched_c, self.config.content)
@@ -461,7 +489,7 @@ class CrawlRunner:
             cleanup=cleanup,
         )
         ordered = merged.join(
-            F.broadcast(ordered_light.select("url_hash", "processed_order")),
+            _maybe_broadcast(ordered_light.select("url_hash", "processed_order")),
             "url_hash",
         )
 
@@ -507,7 +535,7 @@ class CrawlRunner:
             missed = (
                 allowed.join(fetched_hashes, "url_hash", "left_anti")
                 .join(
-                    F.broadcast(
+                    _maybe_broadcast(
                         ordered_light.select("url_hash", "processed_order")
                     ),
                     "url_hash",
@@ -659,7 +687,18 @@ class CrawlRunner:
         new_pending = listing_overflow.unionByName(next_df).unionByName(
             content_overflow
         )
-        self.wh.replace("frontier_pending", new_pending.select(*schemas.FRONTIER.names))
+        # count the pending set BY KIND inside the write action itself
+        # (Observation = zero extra jobs) — next round's broadcast gate
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed_pending = new_pending.select(*schemas.FRONTIER.names).observe(
+            obs,
+            F.sum((F.col("kind") == "listing").cast("long")).alias("n_listing"),
+            F.sum((F.col("kind") == "content").cast("long")).alias("n_content"),
+        )
+        self.wh.replace("frontier_pending", observed_pending)
+        pending_counts = obs.get
 
         # per-host stop lineage (a table, not driver state)
         self.wh.append(
@@ -671,6 +710,12 @@ class CrawlRunner:
             ).withColumnRenamed("stop_reason", "stopped_reason"),
         )
         tick("frontier replace + host_state")
+        self.wh.set_prop(
+            "hint_listing", str(int(pending_counts["n_listing"] or 0))
+        )
+        self.wh.set_prop(
+            "hint_content", str(int(pending_counts["n_content"] or 0))
+        )
         self.wh.set_prop("round", str(r))
         self.wh.set_prop("order_offset", str(offset + n_stored))
         self.wh.set_prop(

@@ -223,3 +223,30 @@ def test_resume_from_checkpoint(spark, tmp_path, corpus_df):
         for r in wh_b2.read("pages").select("processed_order", "url").collect()
     )
     assert a == b
+
+
+def test_shuffle_join_path_identical(spark, tmp_path, corpus_df):
+    """broadcast_max_rows=0 forces the shuffle-join fallback in the fetch
+    and order joins (the million-URL-round path); output must be identical
+    to the broadcast path."""
+    wh_bc = Warehouse(spark, str(tmp_path / "wh_bc"))
+    _run_crawl(spark, wh_bc, corpus_df, [listing_url(h, 1) for h in range(2)])
+    wh_sh = Warehouse(spark, str(tmp_path / "wh_sh"))
+    _run_crawl(
+        spark,
+        wh_sh,
+        corpus_df,
+        [listing_url(h, 1) for h in range(2)],
+        broadcast_max_rows=0,
+    )
+    cols = ["processed_order", "url", "title", "content", "had_extraction_error"]
+    a = sorted(map(tuple, wh_bc.read("pages").select(*cols).collect()))
+    b = sorted(map(tuple, wh_sh.read("pages").select(*cols).collect()))
+    assert a == b
+    sc_a = sorted(
+        map(tuple, wh_bc.read("session_content").drop("session_id").collect())
+    )
+    sc_b = sorted(
+        map(tuple, wh_sh.read("session_content").drop("session_id").collect())
+    )
+    assert sc_a == sc_b
