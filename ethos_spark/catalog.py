@@ -27,8 +27,10 @@ import os
 import shutil
 import uuid
 from dataclasses import dataclass, field
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType, TimestampType
 
 
 @dataclass
@@ -37,6 +39,10 @@ class _Manifest:
     tag: str = ""
     tables: dict[str, list[str]] = field(default_factory=dict)  # table → data dirs
     props: dict[str, str] = field(default_factory=dict)
+    # tiny metadata tables stored INSIDE the manifest (Iceberg keeps the
+    # same class of data — snapshot summaries — in table metadata): list of
+    # JSON rows per table. Zero Spark jobs to maintain; upserted by key.
+    rows: dict[str, list[dict]] = field(default_factory=dict)
 
 
 class Warehouse:
@@ -47,6 +53,7 @@ class Warehouse:
         self._manifest = self._load_head()
         self._staged: dict[str, list[str]] | None = None
         self._staged_props: dict[str, str] = {}
+        self._staged_rows: dict[str, list[dict]] = {}
 
     # -- manifest machinery ------------------------------------------------
 
@@ -59,7 +66,13 @@ class Warehouse:
                 v = int(f.read().strip())
             with open(os.path.join(self.path, f"manifest-{v}.json")) as f:
                 d = json.load(f)
-            return _Manifest(d["version"], d["tag"], d["tables"], d.get("props", {}))
+            return _Manifest(
+                d["version"],
+                d["tag"],
+                d["tables"],
+                d.get("props", {}),
+                d.get("rows", {}),
+            )
         except FileNotFoundError:
             return _Manifest()
 
@@ -67,6 +80,9 @@ class Warehouse:
         if self._staged is None:
             self._staged = {t: list(ds) for t, ds in self._manifest.tables.items()}
             self._staged_props = dict(self._manifest.props)
+            self._staged_rows = {
+                t: list(rs) for t, rs in self._manifest.rows.items()
+            }
 
     def commit(self, tag: str, props: dict[str, str] | None = None) -> int:
         """Atomically publish all staged writes as one snapshot."""
@@ -74,11 +90,18 @@ class Warehouse:
         v = self._manifest.version + 1
         if props:
             self._staged_props.update(props)
-        m = _Manifest(v, tag, self._staged, self._staged_props)
+        m = _Manifest(v, tag, self._staged, self._staged_props, self._staged_rows)
         mpath = os.path.join(self.path, f"manifest-{v}.json")
         with open(mpath, "w") as f:
             json.dump(
-                {"version": v, "tag": tag, "tables": m.tables, "props": m.props}, f
+                {
+                    "version": v,
+                    "tag": tag,
+                    "tables": m.tables,
+                    "props": m.props,
+                    "rows": m.rows,
+                },
+                f,
             )
         tmp = self._head_path() + ".tmp"
         with open(tmp, "w") as f:
@@ -103,7 +126,11 @@ class Warehouse:
                     f.write(str(v))
                 os.replace(tmp, self._head_path())
                 self._manifest = _Manifest(
-                    d["version"], d["tag"], d["tables"], d.get("props", {})
+                    d["version"],
+                    d["tag"],
+                    d["tables"],
+                    d.get("props", {}),
+                    d.get("rows", {}),
                 )
                 self._staged = None
                 return
@@ -118,12 +145,53 @@ class Warehouse:
     def props(self) -> dict[str, str]:
         return dict(self._manifest.props)
 
+    # -- row tables (metadata-sized, stored in the manifest) -----------------
+
+    # schemas for row tables so schema-less read() keeps working; the crawl
+    # engine registers "sessions" here (ethos_spark.schemas.SESSIONS)
+    ROW_TABLE_SCHEMAS: dict[str, StructType] = {}
+
+    def _rows(self) -> dict[str, list[dict]]:
+        return (
+            self._staged_rows if self._staged is not None else self._manifest.rows
+        )
+
+    def upsert_rows(self, table: str, row: dict, key: str) -> None:
+        """Insert-or-replace one JSON row by ``row[key]`` — driver-side, no
+        Spark job; visible after commit(). datetimes are stored ISO."""
+        self._begin()
+        r = {
+            k: (v.isoformat() if isinstance(v, datetime) else v)
+            for k, v in row.items()
+        }
+        cur = {x[key]: x for x in self._staged_rows.get(table, [])}
+        cur[r[key]] = r
+        self._staged_rows[table] = list(cur.values())
+
+    def read_rows(self, table: str) -> list[dict]:
+        return list(self._rows().get(table, []))
+
+    def _rows_df(self, table: str, schema: StructType | None) -> DataFrame:
+        schema = schema or self.ROW_TABLE_SCHEMAS[table]
+        out = []
+        for r in self._rows().get(table, []):
+            vals = []
+            for f in schema.fields:
+                v = r.get(f.name)
+                if v is not None and isinstance(f.dataType, TimestampType):
+                    v = datetime.fromisoformat(v)
+                vals.append(v)
+            out.append(tuple(vals))
+        return self.spark.createDataFrame(out, schema)
+
     # -- table ops ----------------------------------------------------------
 
     def _tables(self) -> dict[str, list[str]]:
         return self._staged if self._staged is not None else self._manifest.tables
 
     def read(self, table: str, schema=None) -> DataFrame:
+        if table in self._rows() or table in self.ROW_TABLE_SCHEMAS:
+            return self._rows_df(table, schema)
         dirs = self._tables().get(table, [])
         dirs = [d for d in dirs if os.path.exists(d)]
         if not dirs:
@@ -152,8 +220,23 @@ class Warehouse:
         10^10-row frontier the working set is partitioned by host bucket so
         only dirty buckets rewrite — here the pending set is small relative
         to seen/pages (it shrinks every round), so CoW is the right shape.
+
+        Replacing a ROW table (e.g. an admin delete over sessions) collects
+        the DataFrame — metadata-sized by construction.
         """
         self._begin()
+        if table in self._staged_rows or table in self.ROW_TABLE_SCHEMAS:
+            rows = []
+            for r in df.collect():
+                d = r.asDict()
+                rows.append(
+                    {
+                        k: (v.isoformat() if isinstance(v, datetime) else v)
+                        for k, v in d.items()
+                    }
+                )
+            self._staged_rows[table] = rows
+            return
         d = self._new_data_dir(table)
         w = df.write.mode("overwrite")
         if partition_by:
@@ -164,6 +247,34 @@ class Warehouse:
     def set_prop(self, key: str, value: str) -> None:
         self._begin()
         self._staged_props[key] = value
+
+    def gc_orphans(self) -> list[str]:
+        """Delete data dirs referenced by NO manifest — leftovers of a
+        writer that crashed between staging an append and committing the
+        snapshot. Because reads only ever resolve through a committed
+        manifest, orphans are invisible to queries (no double-append is
+        possible); this reclaims the disk and keeps re-runs byte-clean.
+
+        Call when (re)opening a warehouse for writing — never concurrently
+        with a live writer (single-writer model; Iceberg's commit lock is
+        the production analogue). Returns the removed dirs."""
+        live: set[str] = set()
+        for fn in os.listdir(self.path):
+            if fn.startswith("manifest-") and fn.endswith(".json"):
+                with open(os.path.join(self.path, fn)) as f:
+                    for ds in json.load(f)["tables"].values():
+                        live.update(ds)
+        removed: list[str] = []
+        for table in os.listdir(self.path):
+            tdir = os.path.join(self.path, table)
+            if not os.path.isdir(tdir):
+                continue
+            for d in os.listdir(tdir):
+                full = os.path.join(tdir, d)
+                if full not in live:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(full)
+        return removed
 
     def vacuum(self, keep_last: int = 3) -> None:
         """Delete data dirs unreferenced by the last ``keep_last`` snapshots

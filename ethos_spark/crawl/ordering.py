@@ -26,10 +26,16 @@ def assign_sequential_order(
     col_name: str = "processed_order",
     n_parts: int | None = None,
     cleanup: list | None = None,
+    total_out: list | None = None,
 ) -> DataFrame:
     """Add ``col_name`` = offset + rank (1-based) in the total order given
     by ``order_cols``. Two jobs: one to count rows per range-partition, one
-    to stamp local indices shifted by the cumulative offsets."""
+    to stamp local indices shifted by the cumulative offsets.
+
+    ``total_out``: if given, the exact input row count is appended to it —
+    free for the caller (the per-partition count vector is collected here
+    anyway), used by the crawl loop to detect fetch misses without an
+    extra count job."""
     spark = df.sparkSession
     n = n_parts or spark.sparkContext.defaultParallelism
     parted = (
@@ -50,6 +56,8 @@ def assign_sequential_order(
     for row in sorted(counts, key=lambda r: r["_pid"]):
         offsets[row["_pid"]] = acc
         acc += row["count"]
+    if total_out is not None:
+        total_out.append(acc - offset)
     offs_b = spark.sparkContext.broadcast(offsets)
 
     out_schema = StructType(df.schema.fields + [StructField(col_name, LongType())])

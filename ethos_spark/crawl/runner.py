@@ -56,6 +56,14 @@ class CrawlOptions:
     # point) fall back to a plain shuffle join on the key — a forced
     # broadcast of every scheduled URL is a driver/executor OOM at scale
     broadcast_max_rows: int = 200_000
+    # in-round fetch retry (reference PaginationHandler.ts:11-12,84-107:
+    # MAX_ATTEMPTS=3, RETRY_DELAY_SEC=15 + reload). Retrying WITHIN the
+    # round — like the reference's inline retry — keeps processed_order
+    # parity: a URL that succeeds on attempt 2 keeps the order assigned
+    # pre-fetch. Backoff defaults to 0 (the reference's 15 s is a
+    # politeness choice for live sites, pointless against a corpus).
+    max_fetch_attempts: int = 3
+    retry_backoff_sec: float = 0.0
 
 
 @dataclass
@@ -72,6 +80,7 @@ class CrawlSummary:
     pages_processed: int = 0
     listing_errors: int = 0
     items_with_errors: int = 0
+    fetch_retries: int = 0  # retry waves run (not per-url attempts)
     stopped_reason: str = ""
     host_stops: dict[str, int] = field(default_factory=dict)  # reason → host count
     wall_sec: float = 0.0
@@ -94,7 +103,10 @@ from pyspark.sql.types import StringType as _StringType
 
 @F.pandas_udf(_StringType())
 def _parse_date_udf(raw):  # pd.Series -> pd.Series
-    return raw.map(lambda s: parse_published_date_or_none(s))
+    # vectorized ISO fast path, per-row dayjs-parity parser for the tail
+    from ethos_spark.functions.datefns import parse_published_dates_series
+
+    return parse_published_dates_series(raw)
 
 
 class CrawlRunner:
@@ -118,22 +130,73 @@ class CrawlRunner:
         # session id format: MetadataTracker.ts:205-208
         self.session_id = f"crawl-session-{int(self.start_time.timestamp())}"
         self.summary = CrawlSummary(self.session_id, config.id)
+        self._interrupted = False
+
+    # -- graceful interruption (InterruptionHandler.ts:17-41) ---------------
+
+    def interrupt(self) -> None:
+        """Request a graceful stop: the loop finishes the round in flight
+        (rounds are atomic snapshot commits), then finalizes the session
+        with stopped_reason='process_interrupted'. ``resume()`` on the same
+        warehouse continues from the last committed round — final state is
+        identical to an uninterrupted run (tested)."""
+        self._interrupted = True
+
+    def install_sigint_handler(self) -> None:
+        """Route Ctrl-C to ``interrupt()`` (the reference's SIGINT hook,
+        InterruptionHandler.ts:17-24). Second SIGINT restores the default
+        handler, so a stuck round can still be killed."""
+        import signal
+
+        prev = signal.getsignal(signal.SIGINT)
+
+        def h(sig, frame):
+            self.interrupt()
+            signal.signal(signal.SIGINT, prev)
+
+        signal.signal(signal.SIGINT, h)
 
     # -- url helpers (Column expressions, JVM-side) -------------------------
 
     @staticmethod
     def _with_url_cols(df: DataFrame, url_col: str = "url") -> DataFrame:
-        """host / host_hash / url_hash as pure Column exprs. Canonical form
-        is approximated JVM-side (lowercase scheme+host, strip fragment);
-        query-param sorting is done by the listing extractor for discovered
-        urls — synthetic corpus urls carry no query strings."""
+        """host / host_hash / url_hash as pure Column exprs. The canonical
+        form MATCHES functions.urlfns.canonicalize_url exactly (pytest
+        asserts equality on port/query/fragment cases): lowercase
+        scheme+host, strip fragment + userinfo, keep NON-DEFAULT ports
+        (http://h:8080/p must not collide with http://h/p in the seen
+        set), default path '/', query params sorted on raw k=v strings."""
         u = F.col(url_col)
-        no_frag = F.substring_index(u, "#", 1)
-        host = F.lower(F.regexp_extract(no_frag, r"^[a-zA-Z]+://([^/:]+)", 1))
-        scheme = F.lower(F.regexp_extract(no_frag, r"^([a-zA-Z]+)://", 1))
-        rest = F.regexp_replace(no_frag, r"^[a-zA-Z]+://[^/]+", "")
+        no_frag = F.substring_index(F.trim(u), "#", 1)
+        scheme = F.lower(F.regexp_extract(no_frag, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+        authority = F.regexp_extract(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)", 1)
+        host_port = F.substring_index(authority, "@", -1)  # drop userinfo
+        host = F.lower(F.substring_index(host_port, ":", 1))
+        port = F.when(
+            host_port.contains(":"), F.substring_index(host_port, ":", -1)
+        ).otherwise(F.lit(""))
+        keep_port = (
+            (port != "")
+            & ~((scheme == "http") & (port == "80"))
+            & ~((scheme == "https") & (port == "443"))
+        )
+        netloc = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
+        rest = F.regexp_replace(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
+        path = F.substring_index(rest, "?", 1)
+        path = F.when(path == "", "/").otherwise(path)
+        raw_query = F.regexp_extract(rest, r"\?(.*)$", 1)
+        sorted_query = F.array_join(
+            F.array_sort(F.filter(F.split(raw_query, "&"), lambda p: p != "")),
+            "&",
+        )
         canon = F.concat(
-            scheme, F.lit("://"), host, F.when(rest == "", "/").otherwise(rest)
+            scheme,
+            F.lit("://"),
+            netloc,
+            path,
+            F.when(sorted_query == "", "").otherwise(
+                F.concat(F.lit("?"), sorted_query)
+            ),
         )
         return (
             df.withColumn("url_canon", canon)
@@ -179,7 +242,11 @@ class CrawlRunner:
     # -- resume -------------------------------------------------------------
 
     def resume(self) -> None:
-        """Reload loop state from the last committed snapshot."""
+        """Reload loop state from the last committed snapshot. Any data
+        dirs staged by a crashed predecessor (append without commit) are
+        garbage-collected first — the re-run of the interrupted round then
+        writes fresh dirs, so no duplicate rows can surface."""
+        self.wh.gc_orphans()
         p = self.wh.props
         self.session_id = p["session_id"]
         s = json.loads(p["summary"])
@@ -192,6 +259,11 @@ class CrawlRunner:
         t0 = time.monotonic()
         r = int(self.wh.props.get("round", "0"))
         while r < self.opt.max_rounds:
+            # interruption check at the loop top, like the reference's
+            # listing loop (ArticleListingCrawler.ts:334): the round in
+            # flight always completes and commits before we stop
+            if self._interrupted:
+                break
             r += 1
             advanced = self.run_round(r)
             if not advanced:
@@ -229,13 +301,50 @@ class CrawlRunner:
         # corpus fetcher that is the parquet scan (split size tuned down in
         # session.py — shuffling the html column would cost more than it
         # buys); a host-partitioned HttpFetcher brings its own partitioning
-        fetched = self.fetcher.fetch(
-            listing_batch.select("url", "host", "depth"), size_hint=listing_hint
+        lkeys = listing_batch.select("url", "host", "depth")
+        # both fetcher contracts express failure as ABSENCE from here on: a
+        # returns_misses fetcher marks failures html=NULL — drop those rows
+        # so the retry/miss machinery below sees them as misses too
+        fetched = self.fetcher.fetch(lkeys, size_hint=listing_hint).where(
+            F.col("html").isNotNull()
         )
         lres = extract_listing_stage(fetched, self.config.listing).join(
-            listing_batch.select("url", "host", "depth"), "url"
-        )
-        lres = lres.cache()
+            lkeys, "url"
+        ).cache()
+        round_caches: list = [lres]
+
+        # in-round listing retry (PaginationHandler.ts:11-12,84-107: 3
+        # attempts with backoff, then the page is a listing error and the
+        # host's chain ends). Misses are detected by anti-joining the
+        # scheduled batch against the fetched pages — ground truth, no
+        # expected-count bookkeeping. The happy-path count() here just
+        # MOVES the listing materialization up from the stats collect below
+        # (lres is cached); extra jobs only run when misses exist.
+        def _listing_misses(cur: DataFrame) -> DataFrame:
+            return lkeys.join(cur.select("url"), "url", "left_anti")
+
+        n_lmiss = _listing_misses(lres).count()
+        attempt = 1
+        while n_lmiss > 0 and attempt < opt.max_fetch_attempts:
+            attempt += 1
+            self.summary.fetch_retries += 1
+            if opt.retry_backoff_sec:
+                time.sleep(opt.retry_backoff_sec)
+            missed_l = _listing_misses(lres)
+            retry_res = (
+                extract_listing_stage(
+                    self.fetcher.fetch(missed_l, size_hint=n_lmiss).where(
+                        F.col("html").isNotNull()
+                    ),
+                    self.config.listing,
+                )
+                .join(missed_l.select("url", "host", "depth"), "url")
+                .cache()
+            )
+            round_caches.append(retry_res)
+            lres = lres.unionByName(retry_res)
+            n_lmiss = _listing_misses(lres).count()
+        n_failed_pages = n_lmiss
 
         items = (
             lres.select(
@@ -288,7 +397,8 @@ class CrawlRunner:
         seen_count = int(self.wh.props.get("seen_count", "0"))
         bloom = None
         if opt.skip_existing_urls and seen_count > 0:
-            seen = self.wh.read("seen", schemas.SEEN)
+            # seen set = url_hash projection of pages (column-pruned scan)
+            seen = self.wh.read("pages", schemas.PAGES_OUT).select("url_hash")
             if seen_count >= opt.use_bloom_over:
                 bloom = BloomFilter.build(
                     seen, "url_hash", seen_count, opt.bloom_fpp
@@ -379,10 +489,15 @@ class CrawlRunner:
         self.summary.pages_processed += int(g["pages_inc"] or 0)
         self.summary.urls_excluded += int(g["n_excluded"] or 0)
         self.summary.total_filtered += int(g["n_filtered"] or 0)
-        self.summary.listing_errors += int(g["n_date_err"] or 0)
+        n_date_err = int(g["n_date_err"] or 0)
+        # retry-exhausted listing pages are listing errors (reference
+        # CrawlErrorManager.addListingErrors) alongside date quarantines
+        self.summary.listing_errors += n_date_err + n_failed_pages
         n_page_items = int(g["n_items"] or 0)
         n_new_total = int(g["n_new"] or 0)
-        self.summary.duplicates_skipped += n_page_items - n_new_total
+        # date-quarantined items are listing errors, NOT duplicates — they
+        # never reach the dedup joins, so subtract them from the delta
+        self.summary.duplicates_skipped += n_page_items - n_new_total - n_date_err
         n_hosts_active = int(g["n_hosts"] or 0)
         for reason, col in (
             ("all_duplicates", "stop_all_dup"),
@@ -394,6 +509,14 @@ class CrawlRunner:
                 self.summary.host_stops[reason] = (
                     self.summary.host_stops.get(reason, 0) + c
                 )
+        if n_failed_pages:
+            # engine extension to the reference enum: a host whose listing
+            # page failed all fetch attempts ends with 'fetch_error' in the
+            # host-level lineage (session-level reason stays the reference
+            # enum — _session_stop_reason ignores this value)
+            self.summary.host_stops["fetch_error"] = (
+                self.summary.host_stops.get("fetch_error", 0) + n_failed_pages
+            )
 
         # ---- content schedule ----------------------------------------------
         all_dup_hosts_df = host_round.where(
@@ -445,11 +568,6 @@ class CrawlRunner:
         def _maybe_broadcast(df: DataFrame) -> DataFrame:
             return F.broadcast(df) if small_round else df
 
-        fetched_c = self.fetcher.fetch(allowed, size_hint=content_hint)
-        if getattr(self.fetcher, "host_partitioned", False):
-            fetched_c = salt_hot_hosts(fetched_c, n_parts, opt.salt_factor)
-        extracted = extract_content_stage(fetched_c, self.config.content)
-
         # mergeContentData semantics (ContentDataMapper.ts:8-26): content
         # page fields override listing fields where non-null
         content_field_names = [
@@ -465,81 +583,124 @@ class CrawlRunner:
             ),
             lambda x: x.isNotNull(),
         )
-        merged = (
-            extracted.withColumn("title_f", F.coalesce("title_x", "title"))
-            .withColumn("author_f", F.coalesce("author_x", "author"))
-            .withColumn("failed_fields", failed_fields)
-            .withColumn(
-                "had_err",
-                F.col("html").isNull() | (F.size("extraction_errors") > 0),
-            )
-        )
 
         # W1: deterministic global order = (round, host, listing position).
         # Assigned on the PRE-FETCH candidate set (order keys are data known
-        # before the fetch), broadcast-joined onto the extracted output —
-        # the heavy content column is never cached or shuffled.
+        # before the fetch), joined onto the extracted output — the heavy
+        # content column is never cached or shuffled. A URL that succeeds
+        # only on a retry attempt keeps this pre-assigned order (reference
+        # inline-retry semantics). The per-partition count vector collected
+        # here also yields n_allowed for free — the miss-detection baseline.
         offset = int(self.wh.props.get("order_offset", "0"))
         cleanup: list = []
         tick("build content plan")
+        total_out: list = []
         ordered_light = assign_sequential_order(
             allowed.select("url_hash", "depth", "host", "listing_order"),
             ["depth", "host", "listing_order", "url_hash"],
             offset=offset,
             cleanup=cleanup,
+            total_out=total_out,
         )
-        ordered = merged.join(
-            _maybe_broadcast(ordered_light.select("url_hash", "processed_order")),
-            "url_hash",
-        )
+        n_allowed = total_out[0]
+        order_map = ordered_light.select("url_hash", "processed_order")
 
-        pages_out = ordered.select(
-            F.xxhash64("url_hash").alias("id"),
-            F.sha1(F.col("url")).alias("hash"),  # ContentStore.ts:106 sha1(url)
-            F.lit(self.config.id).alias("source"),
-            "url",
-            "url_hash",
-            "host",
-            "host_hash",
-            F.col("title_f").alias("title"),
-            F.col("author_f").alias("author"),
-            "published_date",
-            F.col("content_x").alias("content"),
-            F.lit(self.start_time).alias("crawled_at"),
-            F.lit(self.start_time).alias("created_at"),
-            F.col("had_err").alias("had_extraction_error"),
-            "processed_order",
-            "partition_id",
-            "fetch_ms",
-            "parse_ms",
-            "failed_fields",
-        )
+        def _content_pass(cand: DataFrame, hint: int | None) -> DataFrame:
+            """fetch → extract → merge → order-join → PAGES_OUT rows.
+            Failures are ABSENT rows: html-NULL rows from returns_misses
+            fetchers are dropped here so both fetcher contracts hit the
+            same retry/miss machinery."""
+            fc = self.fetcher.fetch(cand, size_hint=hint).where(
+                F.col("html").isNotNull()
+            )
+            if getattr(self.fetcher, "host_partitioned", False):
+                fc = salt_hot_hosts(fc, n_parts, opt.salt_factor)
+            ex = extract_content_stage(fc, self.config.content)
+            m = (
+                ex.withColumn("title_f", F.coalesce("title_x", "title"))
+                .withColumn("author_f", F.coalesce("author_x", "author"))
+                .withColumn("failed_fields", failed_fields)
+                .withColumn("had_err", F.size("extraction_errors") > 0)
+            )
+            return m.join(_maybe_broadcast(order_map), "url_hash").select(
+                F.xxhash64("url_hash").alias("id"),
+                F.sha1(F.col("url")).alias("hash"),  # ContentStore.ts:106
+                F.lit(self.config.id).alias("source"),
+                "url",
+                "url_hash",
+                "host",
+                "host_hash",
+                F.col("title_f").alias("title"),
+                F.col("author_f").alias("author"),
+                "published_date",
+                F.col("content_x").alias("content"),
+                F.lit(self.start_time).alias("crawled_at"),
+                F.lit(self.start_time).alias("created_at"),
+                F.col("had_err").alias("had_extraction_error"),
+                "processed_order",
+                "partition_id",
+                "fetch_ms",
+                "parse_ms",
+                "failed_fields",
+            ).select(*schemas.PAGES_OUT.names)
         tick("assign order (pre-fetch keys)")
 
         # ---- THE single heavy pass: fetch→extract→write pages ---------------
         # Everything downstream (counters, lineage, seen, metrics, field
         # stats) derives from column-pruned reads of the files just written —
         # the write-once-derive-from-storage shape Iceberg pipelines use; no
-        # multi-GB executor cache of article bodies.
-        pages_dir = self.wh.append(
-            "pages", pages_out.select(*schemas.PAGES_OUT.names)
+        # multi-GB executor cache of article bodies. Row/error counts ride
+        # an Observation on each write (no separate agg job).
+        from pyspark.sql import Observation
+
+        def _append_pages(df: DataFrame) -> tuple[str, int, int]:
+            o = Observation()
+            d = self.wh.append(
+                "pages",
+                df.observe(
+                    o,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.col("had_extraction_error").cast("long")
+                    ).alias("errs"),
+                ),
+            )
+            vals = o.get
+            return d, int(vals["n"] or 0), int(vals["errs"] or 0)
+
+        pages_dir, n_written, n_errors = _append_pages(
+            _content_pass(allowed, content_hint)
         )
+        written_dirs = [pages_dir]
         tick("fetch+extract+write pages")
 
-        # fetch-miss candidates (dropped by inner-join fetchers): stored
-        # with an extraction-error flag, exactly like the reference's
-        # failed content loads (ContentPageExtractor.ts:137-140 →
-        # updateItemMetadata → stored with hadContentExtractionError)
-        if not getattr(self.fetcher, "returns_misses", True):
-            fetched_hashes = spark.read.parquet(pages_dir).select("url_hash")
+        # in-round content retry: misses (n_allowed known from the ordering
+        # counts, n_written from the write observation — zero extra jobs in
+        # the no-failure case) are refetched up to max_fetch_attempts
+        attempt = 1
+        while n_written < n_allowed and attempt < opt.max_fetch_attempts:
+            attempt += 1
+            self.summary.fetch_retries += 1
+            if opt.retry_backoff_sec:
+                time.sleep(opt.retry_backoff_sec)
+            done_hashes = spark.read.parquet(*written_dirs).select("url_hash")
+            miss_cand = allowed.join(done_hashes, "url_hash", "left_anti")
+            d, n_got, n_err_got = _append_pages(
+                _content_pass(miss_cand, n_allowed - n_written)
+            )
+            written_dirs.append(d)
+            n_written += n_got
+            n_errors += n_err_got
+
+        # retry-exhausted misses: stored with an extraction-error flag,
+        # exactly like the reference's failed content loads
+        # (ContentPageExtractor failure → updateItemMetadata → stored with
+        # hadContentExtractionError)
+        if n_written < n_allowed:
+            done_hashes = spark.read.parquet(*written_dirs).select("url_hash")
             missed = (
-                allowed.join(fetched_hashes, "url_hash", "left_anti")
-                .join(
-                    _maybe_broadcast(
-                        ordered_light.select("url_hash", "processed_order")
-                    ),
-                    "url_hash",
-                )
+                allowed.join(done_hashes, "url_hash", "left_anti")
+                .join(_maybe_broadcast(order_map), "url_hash")
                 .select(
                     F.xxhash64("url_hash").alias("id"),
                     F.sha1(F.col("url")).alias("hash"),
@@ -569,19 +730,13 @@ class CrawlRunner:
             miss_dir = self.wh.append(
                 "pages", missed.select(*schemas.PAGES_OUT.names)
             )
-            stored = spark.read.parquet(pages_dir, miss_dir)
-        else:
-            stored = spark.read.parquet(pages_dir)
-        tick("fetch-miss reconcile")
-
-        stored_row = stored.agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("had_extraction_error").cast("long")).alias("errs"),
-        ).collect()[0]
-        n_stored = stored_row["n"]
-        n_errors = int(stored_row["errs"] or 0)
+            written_dirs.append(miss_dir)
+            n_errors += n_allowed - n_written
+            n_written = n_allowed
+        stored = spark.read.parquet(*written_dirs)
+        n_stored = n_written
         n_blocked = blocked.count() if self.robots is not None else 0
-        tick("stored agg")
+        tick("fetch-miss reconcile")
 
         self.summary.contents_crawled += n_stored
         self.summary.items_processed += n_stored
@@ -602,10 +757,14 @@ class CrawlRunner:
                 ),
             ),
         )
-        self.wh.append("seen", stored.select("url_hash"))
-        self.wh.append(
-            "seen_session", session_new.select("url_hash").distinct()
-        )
+        # NOTE: the persistent URL-seen set IS pages.url_hash (every stored
+        # row appends exactly one seen entry) — reading it as a
+        # column-pruned projection of pages costs the same scan as a
+        # dedicated table and saves one write job per round.
+        # session_new is already distinct on url_hash (dedup_within_batch
+        # window + anti-join against prior rounds) — append as-is, no
+        # distinct shuffle.
+        self.wh.append("seen_session", session_new.select("url_hash"))
         # per-partition lineage metrics (north_rule)
         part_metrics = (
             stored.groupBy("partition_id")
@@ -634,16 +793,17 @@ class CrawlRunner:
         # indices (ContentDataMapper.ts:31-55; offset semantics of
         # ListingPageExtractor.ts:307). Index = processed_order (the global
         # 1-based item counter the reference threads through as itemOffset).
-        field_rows = []
-        for fname in content_field_names:
-            fc = self.config.content.fields.get(fname)
-            if fc is None:
-                continue
-            failed = F.array_contains(F.col("failed_fields"), fname)
-            field_rows.append(
-                stored.agg(
-                    F.sum((~failed).cast("long")).alias("success_count"),
-                    F.count("*").alias("total_attempts"),
+        # single pass: every field's counters + missing-item list come out
+        # of ONE aggregation over stored (was one scan per field), then an
+        # explode turns the wide row into FIELD_STATS rows
+        if content_field_names:
+            agg_cols = [F.count("*").alias("_ta")]
+            for fname in content_field_names:
+                failed = F.array_contains(F.col("failed_fields"), fname)
+                agg_cols.append(
+                    F.sum((~failed).cast("long")).alias(f"_sc_{fname}")
+                )
+                agg_cols.append(
                     F.slice(
                         F.sort_array(
                             F.collect_list(
@@ -652,22 +812,36 @@ class CrawlRunner:
                         ),
                         1,
                         10_000,  # bound per-round list growth
-                    ).alias("missing_items"),
-                ).select(
-                    F.lit(self.session_id).alias("session_id"),
-                    F.lit(r).alias("round"),
-                    F.lit("content").alias("stage"),
-                    F.lit(fname).alias("field_name"),
-                    "success_count",
-                    "total_attempts",
-                    F.lit(fc.optional).alias("is_optional"),
-                    "missing_items",
+                    ).alias(f"_mi_{fname}")
                 )
+            wide = stored.agg(*agg_cols)
+            fs = wide.select(
+                "_ta",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(fname).alias("field_name"),
+                                F.col(f"_sc_{fname}").alias("success_count"),
+                                F.lit(
+                                    self.config.content.fields[fname].optional
+                                ).alias("is_optional"),
+                                F.col(f"_mi_{fname}").alias("missing_items"),
+                            )
+                            for fname in content_field_names
+                        ]
+                    )
+                ).alias("f"),
+            ).select(
+                F.lit(self.session_id).alias("session_id"),
+                F.lit(r).alias("round"),
+                F.lit("content").alias("stage"),
+                F.col("f.field_name").alias("field_name"),
+                F.col("f.success_count").alias("success_count"),
+                F.col("_ta").alias("total_attempts"),
+                F.col("f.is_optional").alias("is_optional"),
+                F.col("f.missing_items").alias("missing_items"),
             )
-        if field_rows:
-            fs = field_rows[0]
-            for extra in field_rows[1:]:
-                fs = fs.unionByName(extra)
             self.wh.append(
                 "field_stats", fs.select(*schemas.FIELD_STATS.names)
             )
@@ -701,14 +875,21 @@ class CrawlRunner:
         pending_counts = obs.get
 
         # per-host stop lineage (a table, not driver state)
-        self.wh.append(
-            "host_state",
-            host_round.where(F.col("stop_reason").isNotNull()).select(
-                "host",
-                F.col("depth").cast("long").alias("pages_processed"),
-                "stop_reason",
-            ).withColumnRenamed("stop_reason", "stopped_reason"),
+        host_stops_df = host_round.where(F.col("stop_reason").isNotNull()).select(
+            "host",
+            F.col("depth").cast("long").alias("pages_processed"),
+            F.col("stop_reason").alias("stopped_reason"),
         )
+        if n_failed_pages:
+            failed_hosts_df = lkeys.join(
+                lres.select("url"), "url", "left_anti"
+            ).select(
+                "host",
+                (F.col("depth") - 1).cast("long").alias("pages_processed"),
+                F.lit("fetch_error").alias("stopped_reason"),
+            )
+            host_stops_df = host_stops_df.unionByName(failed_hosts_df)
+        self.wh.append("host_state", host_stops_df)
         tick("frontier replace + host_state")
         self.wh.set_prop(
             "hint_listing", str(int(pending_counts["n_listing"] or 0))
@@ -730,7 +911,7 @@ class CrawlRunner:
         self.wh.commit(f"round-{r}")
 
         tick("session row + commit")
-        for c in (lres, valid_items, to_process, host_round, *cleanup):
+        for c in (*round_caches, valid_items, to_process, host_round, *cleanup):
             c.unpersist()
 
         # was there any work this round?
@@ -761,24 +942,32 @@ class CrawlRunner:
         return "no_next_button"
 
     def _write_session_row(self, ended: bool) -> None:
-        reason = self._session_stop_reason() if ended else None
-        row = [
-            (
-                self.session_id,
-                self.config.id,
-                self.config.name,
-                self.start_time,
-                self.start_time if ended else None,
-                self.summary.to_json(),
-                reason,
-            )
-        ]
-        self.wh.replace(
-            "sessions", self.spark.createDataFrame(row, schemas.SESSIONS)
+        # finalized runs carry the reason computed in _finalize (which may
+        # be process_interrupted — never derivable from host stops alone)
+        reason = (self.summary.stopped_reason or None) if ended else None
+        # sessions history is metadata-sized → manifest row table, upserted
+        # by id: every past session survives (reference SQLite sessions
+        # table, listed by `ethos sessions`) and no Spark job runs per round
+        self.wh.upsert_rows(
+            "sessions",
+            {
+                "id": self.session_id,
+                "source_id": self.config.id,
+                "source_name": self.config.name,
+                "start_time": self.start_time,
+                "end_time": self.start_time if ended else None,
+                "metadata": self.summary.to_json(),
+                "stopped_reason": reason,
+            },
+            key="id",
         )
 
     def _finalize(self) -> None:
-        self.summary.stopped_reason = self._session_stop_reason()
+        self.summary.stopped_reason = (
+            "process_interrupted"  # StoppedReason.PROCESS_INTERRUPTED
+            if self._interrupted
+            else self._session_stop_reason()
+        )
         self._write_session_row(ended=True)
         self.wh.set_prop("summary", self.summary.to_json())
         self.wh.commit("final")

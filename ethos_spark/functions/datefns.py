@@ -155,3 +155,24 @@ def parse_published_date_or_none(
         return parse_published_date(date_string, now)
     except DateParseError:
         return None
+
+
+def parse_published_dates_series(raw, now: datetime | None = None):
+    """Arrow-batch kernel (pd.Series[str] → pd.Series[str|None]): plain
+    ``YYYY-MM-DD`` values — the overwhelming majority of web-corpus dates —
+    go through vectorized ``pd.to_datetime`` (validity-checked, e.g.
+    2024-02-30 → NULL exactly like the per-row path); everything else falls
+    back to the dayjs-parity per-row parser. Output is identical to mapping
+    ``parse_published_date_or_none`` row by row (property-tested)."""
+    import pandas as pd
+
+    s = raw
+    simple = s.str.fullmatch(r"\d{4}-\d{2}-\d{2}", na=False)
+    dt = pd.to_datetime(s.where(simple), format="%Y-%m-%d", errors="coerce")
+    out = dt.dt.strftime("%Y-%m-%dT%H:%M:%S.000Z").astype(object)
+    slow_mask = (~simple) & s.notna()
+    if slow_mask.any():
+        out[slow_mask] = s[slow_mask].map(
+            lambda x: parse_published_date_or_none(x, now)
+        )
+    return out.where(out.notna(), None)

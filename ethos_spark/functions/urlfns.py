@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import re
-from urllib.parse import urljoin, urlsplit, urlunsplit, parse_qsl, urlencode
+from urllib.parse import urljoin, urlsplit, urlunsplit
 
 _HASH_RE = re.compile(r"^[a-f0-9]{40}$", re.IGNORECASE)
 
@@ -64,7 +64,11 @@ _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 
 def canonicalize_url(url: str) -> str:
-    """Deterministic canonical form for seen-set membership."""
+    """Deterministic canonical form for seen-set membership.
+
+    Query params sort on the RAW ``k=v`` byte strings (no decode/re-encode
+    round trip — lossless, and exactly reproducible JVM-side in
+    CrawlRunner._with_url_cols; a pytest asserts the two agree)."""
     parts = urlsplit(url.strip())
     scheme = parts.scheme.lower()
     host = parts.hostname.lower() if parts.hostname else ""
@@ -73,7 +77,7 @@ def canonicalize_url(url: str) -> str:
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
         netloc = f"{host}:{port}"
     path = parts.path or "/"
-    query = urlencode(sorted(parse_qsl(parts.query, keep_blank_values=True)))
+    query = "&".join(sorted(p for p in parts.query.split("&") if p))
     return urlunsplit((scheme, netloc, path, query, ""))
 
 

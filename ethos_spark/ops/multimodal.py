@@ -2,18 +2,27 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 struct of typed metadata; decode / feature-extract / resize / frame-sample
-run as Arrow-batched pandas UDFs over ``mapInPandas``. The actual codecs
-(PIL/ffmpeg/etc.) are NOT present in this container, so the decode kernel
-is a clearly-marked STUB: the Spark-side plumbing — schema, partitioning,
-UDF signature, batch shape — is real and tested; swap ``_decode_stub`` for
-a real decoder in production.
+run as Arrow-batched pandas UDFs over ``mapInPandas``.
 
-The deterministic parts (byte length, header byte, derived fake dims) have
-exact SQL oracles.
+The decode kernel parses REAL image headers with stdlib ``struct`` — no
+codec library needed for container metadata:
+
+- PNG: 8-byte signature + IHDR chunk (big-endian u32 width/height)
+- GIF87a/GIF89a: logical-screen descriptor (little-endian u16)
+- BMP: BITMAPINFOHEADER (little-endian i32 at offset 18)
+- JPEG: marker walk to the first SOF frame header (big-endian u16 h, w)
+
+Unknown payloads fall back to a clearly-labelled deterministic ``raw``
+record (dims derived from byte length) so text-bytes stand-ins keep an
+exact SQL oracle. Full pixel decode / resample (PIL/ffmpeg) is NOT in this
+container; ``resize_stub`` keeps the production batch shape with a
+byte-truncation kernel and raises nothing — swap the kernel in production.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -31,37 +40,90 @@ MEDIA_META = T.StructType(
     ]
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers carrying dimensions (C4=DHT, C8=JPG ext,
+# CC=DAC are NOT frame headers)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
 
-def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Test harness: UTF-8 bytes of the text stand in for an image payload."""
-    return df.withColumn("media", F.encode(F.col(text_col), "UTF-8"))
 
-
-def _decode_stub(payload: bytes) -> dict:
-    """STUB decoder. A real implementation would be e.g.::
-
-        img = PIL.Image.open(io.BytesIO(payload))   # not available here
-        return {"width": img.width, ...}
-
-    Deterministic fake: dimensions derived from the byte length so the
-    whole pipeline (including the oracle comparison) stays reproducible.
-    """
+def parse_image_meta(payload: bytes) -> dict:
+    """Container-header metadata from raw image bytes (public formats)."""
     n = len(payload)
-    return {
+    meta = {
         "n_bytes": n,
         "header_byte": payload[0] if n else 0,
         "width": n % 640,
         "height": (n * 7) % 480,
-        "codec": "stub",
+        "codec": "raw",
     }
+    try:
+        if n >= 24 and payload[:8] == _PNG_SIG and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            meta.update(width=w, height=h, codec="png")
+        elif n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", payload[6:10])
+            meta.update(width=w, height=h, codec="gif")
+        elif n >= 26 and payload[:2] == b"BM":
+            w, h = struct.unpack("<ii", payload[18:26])
+            meta.update(width=w, height=abs(h), codec="bmp")
+        elif n >= 4 and payload[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 <= n and payload[i] == 0xFF:
+                marker = payload[i + 1]
+                if marker in _JPEG_SOF:
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    meta.update(width=w, height=h, codec="jpeg")
+                    break
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone markers carry no length
+                else:
+                    i += 2 + struct.unpack(">H", payload[i + 2 : i + 4])[0]
+    except struct.error:
+        pass  # truncated header → keep the raw fallback record
+    return meta
+
+
+def synth_png(width: int, height: int) -> bytes:
+    """A minimal VALID PNG prefix: signature + IHDR chunk with a correct
+    CRC (8-bit RGBA). 33 bytes; enough for any header-reading tool."""
+    ihdr = struct.pack(">II", width, height) + b"\x08\x06\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (
+        _PNG_SIG
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test harness: UTF-8 bytes of the text stand in for an opaque payload
+    (decodes as codec='raw' with length-derived dims)."""
+    return df.withColumn("media", F.encode(F.col(text_col), "UTF-8"))
+
+
+def attach_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test harness: a real PNG header whose dimensions are a deterministic
+    function of the text's UTF-8 byte length (w = n%640+1, h = n*7%480+1),
+    so the decode stage's PARSING is oracle-checkable end-to-end."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            n = len((t or "").encode("utf-8"))
+            out.append(synth_png(n % 640 + 1, (n * 7) % 480 + 1))
+        return pd.Series(out)
+
+    return df.withColumn("media", make(F.col(text_col)))
 
 
 def decode_media(
     df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
 ) -> DataFrame:
     """The decode stage: mapInPandas over binary payloads → metadata struct
-    columns. Batch shape and schema are production-real; only the kernel is
-    a stub."""
+    columns. Batch shape and schema are production-real; the kernel reads
+    real container headers (see ``parse_image_meta``)."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -71,7 +133,10 @@ def decode_media(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_decode_stub(bytes(p) if p is not None else b"") for p in pdf[media_col]]
+            metas = [
+                parse_image_meta(bytes(p) if p is not None else b"")
+                for p in pdf[media_col]
+            ]
             out = pd.DataFrame(metas)
             out.insert(0, id_col, pdf[id_col].to_numpy())
             yield out
@@ -86,8 +151,9 @@ def resize_stub(
     id_col: str = "doc_id",
     media_col: str = "media",
 ) -> DataFrame:
-    """Resize stage shape: binary in → binary out + new dims. Stub keeps a
-    deterministic prefix of the payload (real impl: actual resample)."""
+    """Resize stage shape: binary in → binary out + new dims. STUB kernel —
+    keeps a deterministic prefix of the payload (real impl: actual
+    resample via an image library not present in this container)."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),

@@ -76,27 +76,36 @@ def cosine_topk(
     )
 
 
-# 2^8 = 256 buckets: sized so a 10^3-10^4-vector bucket population keeps
-# ~dozens of vectors per bucket; at 10^9 vectors raise toward 20-24 planes
-# (bucket count should track corpus size / desired candidate-list length)
-N_PLANES = 8
+# target mean bucket population: bucket count tracks corpus size so the
+# per-query candidate list stays ~constant as the corpus grows (at 10^9
+# vectors this yields ~24 planes; a fixed plane count would leave millions
+# of vectors per bucket)
+TARGET_BUCKET = 64
 
 
-def _hyperplanes(dim: int) -> np.ndarray:
+def planes_for(corpus_rows: int) -> int:
+    """#hyperplanes scaled to corpus size: 2^planes ≈ rows / TARGET_BUCKET,
+    floor 4 (16 buckets), cap 30 (long bucket key)."""
+    return int(
+        min(30, max(4, np.ceil(np.log2(max(corpus_rows, 2) / TARGET_BUCKET))))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes (seeded, no RNG state)."""
     rng = np.random.default_rng(42)
-    return rng.standard_normal((N_PLANES, dim)).astype(np.float64)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
-def lsh_bucket_udf(dim: int):
-    planes = _hyperplanes(dim)
+def lsh_bucket_udf(dim: int, n_planes: int):
+    planes = _hyperplanes(dim, n_planes)
 
     @F.pandas_udf(LongType())
     def bucket(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy())  # (n, dim)
         signs = (m.astype(np.float64) @ planes.T) > 0  # (n, planes)
         out = np.zeros(len(m), dtype=np.int64)
-        for j in range(N_PLANES):
+        for j in range(n_planes):
             out |= signs[:, j].astype(np.int64) << j
         return pd.Series(out)
 
@@ -110,12 +119,22 @@ def lsh_ann_topk(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int | None = None,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: only vectors in the query's hyperplane bucket are
-    scored (multi-probe: exact bucket ∪ distance-1 buckets)."""
+    scored (multi-probe: exact bucket ∪ distance-1 buckets).
+
+    ``n_planes`` defaults to ``planes_for(corpus size)`` so buckets keep a
+    roughly constant population as the corpus grows; pass ``corpus_rows``
+    if known to avoid the count job."""
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
-    bucket = lsh_bucket_udf(dim)
+    if n_planes is None:
+        n_planes = planes_for(
+            corpus_rows if corpus_rows is not None else emb.count()
+        )
+    bucket = lsh_bucket_udf(dim, n_planes)
     with_b = emb.withColumn("bucket", bucket(F.col(vec_col))).cache()
     q = with_b.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"),
@@ -131,7 +150,7 @@ def lsh_ann_topk(
                 F.col("q_bucket"),
                 *[
                     F.col("q_bucket").bitwiseXOR(F.lit(1 << j))
-                    for j in range(N_PLANES)
+                    for j in range(n_planes)
                 ],
             )
         ).alias("bucket"),
@@ -152,16 +171,83 @@ def lsh_ann_topk(
     )
 
 
+def with_cluster_structure(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    alpha: float = 0.15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Impose deterministic cluster structure on an isotropic vector table:
+    v' = (1-α)·centroid[v.id mod C] + α·v, centroids = the first C vectors.
+    Pure Column expressions (zip_with), no RNG. Harness for evaluating the
+    LSH index on data shaped like real embedding corpora — hyperplane LSH
+    is provably uninformative on isotropic noise (max pairwise cosine ≈0.4
+    on the driver's synthetic table), which says nothing about the index."""
+    cent = emb.where(F.col(id_col) < n_clusters).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    mixed = F.zip_with(
+        "_cvec",
+        vec_col,
+        lambda c, v: (
+            c.cast("double") * F.lit(1.0 - alpha) + v.cast("double") * F.lit(alpha)
+        ).cast("float"),
+    )
+    return (
+        emb.withColumn("_cid", F.pmod(F.col(id_col), F.lit(n_clusters)))
+        .join(F.broadcast(cent), "_cid")
+        .select(id_col, mixed.alias(vec_col))
+    )
+
+
+def lsh_recall_check(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    min_recall: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Correctness signal for the approximate index, computed in-Spark:
+    recall@k of ``lsh_ann_topk`` against the exact ``cosine_topk`` over the
+    same table. → one row (n_queries, recall_ok) — stable columns that an
+    oracle can assert, while tests additionally bound the raw recall."""
+    exact = cosine_topk(emb, query_ids, k, id_col, vec_col)
+    approx = lsh_ann_topk(emb, query_ids, k, id_col=id_col, vec_col=vec_col)
+    hits = (
+        exact.join(approx, ["q_id", "neighbor_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    per_q = (
+        exact.groupBy("q_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits, "q_id", "left")
+        .fillna(0, ["hits"])
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        (F.sum("hits") / F.sum("n_exact") >= min_recall).alias("recall_ok"),
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int | None = None,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ t, bucket-blocked via LSH so the
     pair join is bucket-local instead of a cross join."""
     dim = len(emb.select(vec_col).first()[0])
-    bucket = lsh_bucket_udf(dim)
+    if n_planes is None:
+        n_planes = planes_for(
+            corpus_rows if corpus_rows is not None else emb.count()
+        )
+    bucket = lsh_bucket_udf(dim, n_planes)
     with_b = emb.withColumn("bucket", bucket(F.col(vec_col)))
     a, b = with_b.alias("a"), with_b.alias("b")
     return (

@@ -96,6 +96,12 @@ SESSIONS = StructType(
     ]
 )
 
+# sessions are metadata-sized → stored as manifest row tables (zero Spark
+# jobs per round); register the schema so schema-less Warehouse.read works
+from ethos_spark.catalog import Warehouse as _Warehouse  # noqa: E402
+
+_Warehouse.ROW_TABLE_SCHEMAS["sessions"] = SESSIONS
+
 SESSION_CONTENT = StructType(
     [
         StructField("session_id", StringType()),

@@ -25,14 +25,9 @@ def delete_content_by_hash(wh: Warehouse, hashes: list[str]) -> dict:
     found = pages.join(F.broadcast(hset), "hash", "left_semi").count()
     remaining = pages.join(F.broadcast(hset), "hash", "left_anti")
     wh.replace("pages", remaining)
-    # seen keeps membership parity with the reference's URL table (the
-    # SQLite row survives file deletion only if metadata row not deleted;
-    # the reference deletes both via clean → also drop from seen)
-    deleted_hashes = pages.join(F.broadcast(hset), "hash", "left_semi").select(
-        "url_hash"
-    )
-    seen = wh.read("seen", schemas.SEEN)
-    wh.replace("seen", seen.join(deleted_hashes, "url_hash", "left_anti"))
+    # the persistent URL-seen set is a projection of pages (runner design),
+    # so rewriting pages updates seen membership atomically — matching the
+    # reference's clean path, which deletes both file and metadata row
     wh.commit("delete-content")
     return {"deleted": found, "not_found": len(hashes) - found}
 

@@ -250,3 +250,203 @@ def test_shuffle_join_path_identical(spark, tmp_path, corpus_df):
         map(tuple, wh_sh.read("session_content").drop("session_id").collect())
     )
     assert sc_a == sc_b
+
+
+class FlakyFetcher:
+    """Corpus fetcher that drops `fail_urls` from its output for the first
+    `fail_calls` fetch() invocations — a deterministic transient failure."""
+
+    host_partitioned = False
+    returns_misses = False
+
+    def __init__(self, corpus, fail_urls, fail_calls):
+        from ethos_spark.crawl.fetcher import CorpusFetcher
+
+        self.inner = CorpusFetcher(corpus)
+        self.fail_urls = list(fail_urls)
+        self.fail_calls = fail_calls
+        self.calls = 0
+
+    def fetch(self, candidates, size_hint=None):
+        self.calls += 1
+        out = self.inner.fetch(candidates, size_hint)
+        if self.calls <= self.fail_calls:
+            out = out.where(~F.col("url").isin(self.fail_urls))
+        return out
+
+
+def test_transient_listing_fetch_retry(spark, tmp_path, corpus_df):
+    """A listing page that fails on the first attempt succeeds on the
+    in-round retry; final output identical to a clean run (reference
+    PaginationHandler inline-retry semantics)."""
+    wh = Warehouse(spark, str(tmp_path / "wh_flaky_l"))
+    fetcher = FlakyFetcher(corpus_df, [listing_url(0, 1)], fail_calls=1)
+    runner = CrawlRunner(spark, wh, fetcher, SYNTH_SOURCE, CrawlOptions())
+    runner.seed([listing_url(0, 1)])
+    summary = runner.run()
+    sim = _sim(0)
+    assert summary.fetch_retries >= 1
+    assert summary.items_processed == sim.items_processed
+    assert summary.listing_errors == 0
+    eng = wh.read("pages").orderBy("processed_order").collect()
+    assert [e.url for e in eng] == [s.url for s in sim.items]
+
+
+def test_transient_content_fetch_retry(spark, tmp_path, corpus_df):
+    """Content URLs dropped on the first content fetch are refetched in the
+    same round and keep their pre-assigned processed_order."""
+    sim = _sim(0)
+    flaky_urls = [sim.items[2].url, sim.items[5].url]
+    wh = Warehouse(spark, str(tmp_path / "wh_flaky_c"))
+    # call 1 = listing fetch (flaky content urls absent there anyway),
+    # call 2 = content fetch (urls dropped -> misses), call 3 = retry
+    fetcher = FlakyFetcher(corpus_df, flaky_urls, fail_calls=2)
+    runner = CrawlRunner(spark, wh, fetcher, SYNTH_SOURCE, CrawlOptions())
+    runner.seed([listing_url(0, 1)])
+    summary = runner.run()
+    assert summary.fetch_retries >= 1
+    assert summary.items_processed == sim.items_processed
+    # retried urls recover fully: error count equals the corpus's natural
+    # extraction-error items, nothing added by the transient failures
+    assert summary.items_with_errors == sum(
+        1 for i in sim.items if i.had_content_extraction_error
+    )
+    eng = wh.read("pages").orderBy("processed_order").collect()
+    for e, s in zip(eng, sim.items):
+        assert (e.url, e.processed_order, e.content) == (
+            s.url,
+            s.processed_order,
+            s.content,
+        )
+
+
+def test_permanent_fetch_failures(spark, tmp_path, corpus_df):
+    """Retry exhaustion: a dead listing host becomes a fetch_error host +
+    listing error; a dead content url is stored as an error row (reference
+    failed-content-load semantics) after max_fetch_attempts."""
+    sim = _sim(0)
+    dead_content = sim.items[3].url
+    dead_listing_host_url = "https://dead.example.org/page/1"
+    wh = Warehouse(spark, str(tmp_path / "wh_dead"))
+    fetcher = FlakyFetcher(corpus_df, [dead_content], fail_calls=10_000)
+    runner = CrawlRunner(spark, wh, fetcher, SYNTH_SOURCE, CrawlOptions())
+    runner.seed([listing_url(0, 1), dead_listing_host_url])
+    summary = runner.run()
+    # dead listing host: retried, then recorded
+    assert summary.listing_errors == 1
+    assert summary.host_stops.get("fetch_error") == 1
+    hs = {
+        r.host: r.stopped_reason for r in wh.read("host_state").collect()
+    }
+    assert hs.get("dead.example.org") == "fetch_error"
+    # dead content url: stored with the error flag, order preserved
+    eng = {r.url: r for r in wh.read("pages").collect()}
+    row = eng[dead_content]
+    assert row.had_extraction_error and row.content is None
+    natural_errs = sum(1 for i in sim.items if i.had_content_extraction_error)
+    assert summary.items_with_errors == natural_errs + 1
+    assert summary.items_processed == sim.items_processed
+    orders = sorted(r.processed_order for r in eng.values())
+    assert orders == list(range(1, len(eng) + 1))
+
+
+def test_process_interrupted_and_resume(spark, tmp_path, corpus_df):
+    """interrupt() finalizes the session with process_interrupted
+    (InterruptionHandler.ts:17-41); resume completes the crawl with the
+    same final processed_order sequence as an uninterrupted run."""
+    wh_full = Warehouse(spark, str(tmp_path / "wh_full"))
+    _run_crawl(spark, wh_full, corpus_df, [listing_url(0, 1)])
+
+    wh = Warehouse(spark, str(tmp_path / "wh_int"))
+    runner = CrawlRunner(spark, wh, CorpusFetcher(corpus_df), SYNTH_SOURCE, CrawlOptions())
+    runner.seed([listing_url(0, 1)])
+    runner.run_round(1)
+    runner.interrupt()
+    s1 = runner.run()  # loop sees the flag, commits, finalizes
+    assert s1.stopped_reason == "process_interrupted"
+    sess = {r.id: r for r in wh.read("sessions").collect()}
+    assert sess[runner.session_id].stopped_reason == "process_interrupted"
+    assert sess[runner.session_id].end_time is not None
+
+    wh2 = Warehouse(spark, str(tmp_path / "wh_int"))
+    r2 = CrawlRunner(spark, wh2, CorpusFetcher(corpus_df), SYNTH_SOURCE, CrawlOptions())
+    r2.resume()
+    s2 = r2.run()
+    assert s2.stopped_reason != "process_interrupted"
+    a = sorted(
+        (r.processed_order, r.url)
+        for r in wh_full.read("pages").select("processed_order", "url").collect()
+    )
+    b = sorted(
+        (r.processed_order, r.url)
+        for r in wh2.read("pages").select("processed_order", "url").collect()
+    )
+    assert a == b
+
+
+def test_sessions_history_preserved(spark, tmp_path, corpus_df):
+    """Two sessions over one warehouse: both rows survive (reference keeps
+    all sessions in SQLite; `ethos sessions` lists history)."""
+    from datetime import datetime, timezone
+
+    wh = Warehouse(spark, str(tmp_path / "wh_hist"))
+    r1 = CrawlRunner(
+        spark, wh, CorpusFetcher(corpus_df), SYNTH_SOURCE,
+        CrawlOptions(max_pages=1),
+        start_time=datetime(2025, 7, 1, tzinfo=timezone.utc),
+    )
+    r1.seed([listing_url(0, 1)])
+    r1.run()
+    r2 = CrawlRunner(
+        spark, wh, CorpusFetcher(corpus_df), SYNTH_SOURCE,
+        CrawlOptions(max_pages=1),
+        start_time=datetime(2025, 7, 2, tzinfo=timezone.utc),
+    )
+    r2.seed([listing_url(1, 1)])
+    r2.run()
+    rows = {r.id: r for r in wh.read("sessions").collect()}
+    assert r1.session_id in rows and r2.session_id in rows
+    assert rows[r1.session_id].stopped_reason == "max_pages"
+    assert rows[r1.session_id].end_time is not None
+
+
+def test_bad_date_quarantine_counters(spark, tmp_path):
+    """An unparseable listing date quarantines the item: it counts as a
+    listing error, NOT a duplicate (duplicates_skipped must exclude it),
+    and is never fetched/stored."""
+    bad_listing = (
+        "<html><body>"
+        '<div class="post-list">'
+        '<div class="post-item"><span class="post-title">Good</span>'
+        '<a class="post-link" href="/a/good">read</a>'
+        '<span class="post-date">2025-03-01</span></div>'
+        '<div class="post-item"><span class="post-title">Bad date</span>'
+        '<a class="post-link" href="/a/bad">read</a>'
+        '<span class="post-date">Smarch 1, 2025</span></div>'
+        "</div></body></html>"
+    )
+    art = (
+        "<html><body><div id='main'><header><h1>T</h1></header>"
+        "<div class='article-body'><p>Body text.</p></div></div></body></html>"
+    )
+    host = "quar.example.org"
+    corpus = spark.createDataFrame(
+        [
+            (f"https://{host}/list/1", bad_listing.encode()),
+            (f"https://{host}/a/good", art.encode()),
+            (f"https://{host}/a/bad", art.encode()),
+        ],
+        "url string, html binary",
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh_quar"))
+    runner = CrawlRunner(
+        spark, wh, CorpusFetcher(corpus), SYNTH_SOURCE, CrawlOptions()
+    )
+    runner.seed([f"https://{host}/list/1"])
+    s = runner.run()
+    assert s.items_processed == 1  # only the good item stored
+    assert s.listing_errors == 1  # the quarantined date
+    assert s.duplicates_skipped == 0  # NOT double-counted as duplicate
+    assert s.items_found == 1  # found = processed + dup + filtered
+    urls = [r.url for r in wh.read("pages").collect()]
+    assert urls == [f"https://{host}/a/good"]

@@ -105,3 +105,33 @@ def test_bloom_exactness(spark):
     assert new.count() == 500
     assert dupes.count() == 500
     assert {r.url_hash for r in new.collect()} == {f"new{i:04d}" for i in range(500)}
+
+
+def test_jvm_canon_matches_python(spark):
+    """CrawlRunner._with_url_cols (pure Column exprs) must agree with
+    functions.urlfns.canonicalize_url on ports, query sorting, fragments,
+    userinfo and default paths — they key the same seen set."""
+    from ethos_spark.crawl.runner import CrawlRunner
+    from ethos_spark.functions.urlfns import canonicalize_url
+
+    urls = [
+        "https://h.example.org/a/b",
+        "http://h.example.org:8080/p",
+        "http://h.example.org:80/p",
+        "https://h.example.org:443/p",
+        "https://h.example.org:8443/p?b=2&a=1",
+        "HTTPS://News.Example.ORG/x?b=2&a=1#frag",
+        "http://h.example.org",
+        "http://h.example.org?z=1&y=2",
+        "http://user:pw@h.example.org:8080/p#x",
+        "https://h.example.org/p?b=2&a=1&a=0",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r.url: r.url_canon
+        for r in CrawlRunner._with_url_cols(df).collect()
+    }
+    for u in urls:
+        assert got[u] == canonicalize_url(u), u
+    # the port distinction must separate seen-set keys
+    assert got["http://h.example.org:8080/p"] != got["http://h.example.org:80/p"]

@@ -113,3 +113,23 @@ def test_html_selector_engine():
     assert root.query_selector("[disabled]") is not None
     assert len(root.query_selector_all("ul li")) == 2
     assert root.query_selector(".missing") is None
+
+
+def test_vectorized_date_parse_equivalence():
+    """The Arrow-batch kernel (ISO fast path + per-row tail) must match the
+    per-row parser exactly, including invalid-calendar and NULL handling."""
+    import pandas as pd
+
+    from ethos_spark.functions.datefns import parse_published_dates_series
+
+    cases = [
+        "July 10, 2025", "2025-07-10", "2025-02-29",  # invalid: not a leap year
+        "2024-02-29", "2025-13-01", "2025-00-10", "2025-07-32",
+        "2025-07-25T12:00:00-07:00", "2025-07-25T12:00:00Z",
+        "10 July 2025", "not a date", "", None, "Published 2025-01-05",
+        "  2025-03-04  ", "2025-3-4",
+    ]
+    s = pd.Series(cases, dtype=object)
+    vec = list(parse_published_dates_series(s, NOW))
+    ref = [parse_published_date_or_none(x, NOW) for x in cases]
+    assert vec == ref

@@ -103,8 +103,16 @@ def test_delete_content_and_session(spark, crawled):
     assert res == {"deleted": 3, "not_found": 1}
     left = wh.read("pages")
     assert left.where(F.col("hash").isin(victim_hashes)).count() == 0
-    # seen shrank in lockstep (recrawl of deleted URLs now possible)
-    assert wh.read("seen").count() == left.count()
+    # seen = pages.url_hash projection → deleted URLs left the seen set in
+    # lockstep (recrawl of deleted URLs now possible)
+    deleted_uh = {
+        r.url_hash
+        for r in pages.where(F.col("hash").isin(victim_hashes)).collect()
+    }
+    seen_now = {
+        r.url_hash for r in wh.read("pages").select("url_hash").collect()
+    }
+    assert deleted_uh.isdisjoint(seen_now)
 
     res2 = delete_session(wh, summary.session_id)
     assert res2["links_removed"] == summary.items_processed

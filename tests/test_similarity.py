@@ -76,3 +76,22 @@ def test_embedding_near_dup_pairs(spark, clustered):
     got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
     want = {(r.vec_id, r.vec_id + 100_000) for r in clustered.limit(3).collect()}
     assert want <= got
+
+
+def test_lsh_recall_check_row(spark, clustered):
+    row = sim.lsh_recall_check(clustered, [0, 40, 80], k=5).collect()[0]
+    assert row.n_queries == 3 and bool(row.recall_ok)
+
+
+def test_with_cluster_structure_raises_similarity(spark, clustered):
+    """The clusterizer turns isotropic vectors into LSH-friendly data."""
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(11)
+    iso = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(DIM)]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    shaped = sim.with_cluster_structure(iso, n_clusters=6, alpha=0.15)
+    row = sim.lsh_recall_check(shaped, list(range(10)), k=5).collect()[0]
+    assert bool(row.recall_ok)
