@@ -33,7 +33,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "similarity_topk",
-        "similarity_lsh_ann",
+        "similarity_lsh_recall",
         "langid_predict",
         "quality_score",
         "token_counts",

@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import uuid
 from dataclasses import dataclass, field
 from datetime import datetime
@@ -54,6 +55,10 @@ class Warehouse:
         self._staged: dict[str, list[str]] | None = None
         self._staged_props: dict[str, str] = {}
         self._staged_rows: dict[str, list[dict]] = {}
+        # guards staging-dict mutations: the crawl loop submits its
+        # independent lineage writes from a thread pool (parquet writes run
+        # concurrently; only the dir registration needs the lock)
+        self._lock = threading.RLock()
 
     # -- manifest machinery ------------------------------------------------
 
@@ -77,12 +82,15 @@ class Warehouse:
             return _Manifest()
 
     def _begin(self) -> None:
-        if self._staged is None:
-            self._staged = {t: list(ds) for t, ds in self._manifest.tables.items()}
-            self._staged_props = dict(self._manifest.props)
-            self._staged_rows = {
-                t: list(rs) for t, rs in self._manifest.rows.items()
-            }
+        with self._lock:
+            if self._staged is None:
+                self._staged = {
+                    t: list(ds) for t, ds in self._manifest.tables.items()
+                }
+                self._staged_props = dict(self._manifest.props)
+                self._staged_rows = {
+                    t: list(rs) for t, rs in self._manifest.rows.items()
+                }
 
     def commit(self, tag: str, props: dict[str, str] | None = None) -> int:
         """Atomically publish all staged writes as one snapshot."""
@@ -164,9 +172,10 @@ class Warehouse:
             k: (v.isoformat() if isinstance(v, datetime) else v)
             for k, v in row.items()
         }
-        cur = {x[key]: x for x in self._staged_rows.get(table, [])}
-        cur[r[key]] = r
-        self._staged_rows[table] = list(cur.values())
+        with self._lock:
+            cur = {x[key]: x for x in self._staged_rows.get(table, [])}
+            cur[r[key]] = r
+            self._staged_rows[table] = list(cur.values())
 
     def read_rows(self, table: str) -> list[dict]:
         return list(self._rows().get(table, []))
@@ -209,8 +218,9 @@ class Warehouse:
         without waiting for the snapshot to publish."""
         self._begin()
         d = self._new_data_dir(table)
-        df.write.mode("overwrite").parquet(d)
-        self._staged.setdefault(table, []).append(d)
+        df.write.mode("overwrite").parquet(d)  # concurrent-safe (own dir)
+        with self._lock:
+            self._staged.setdefault(table, []).append(d)
         return d
 
     def replace(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
@@ -235,18 +245,21 @@ class Warehouse:
                         for k, v in d.items()
                     }
                 )
-            self._staged_rows[table] = rows
+            with self._lock:
+                self._staged_rows[table] = rows
             return
         d = self._new_data_dir(table)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(d)
-        self._staged[table] = [d]
+        with self._lock:
+            self._staged[table] = [d]
 
     def set_prop(self, key: str, value: str) -> None:
         self._begin()
-        self._staged_props[key] = value
+        with self._lock:
+            self._staged_props[key] = value
 
     def gc_orphans(self) -> list[str]:
         """Delete data dirs referenced by NO manifest — leftovers of a

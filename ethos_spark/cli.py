@@ -6,6 +6,7 @@
   ... sessions --warehouse /data/wh
   ... publications --warehouse /data/wh [--source S] [--page N] [--limit K]
   ... clean --warehouse /data/wh --hashes h1,h2
+  ... serve --warehouse /data/wh [--host H] [--port P]
 
 `crawl` maps to crawlWithOptions (src/commands/crawl.ts:16-66): --max-pages
 / --recrawl (skipExistingUrls=false, index.ts:39) keep the reference flag
@@ -47,6 +48,11 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--warehouse", required=True)
     d.add_argument("--hashes", required=True)
 
+    v = sub.add_parser("serve")  # reference `ethos serve` (server/index.ts)
+    v.add_argument("--warehouse", required=True)
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=3000)
+
     args = p.parse_args(argv)
 
     from ethos_spark.catalog import Warehouse
@@ -81,6 +87,7 @@ def main(argv: list[str] | None = None) -> int:
                 per_host_budget=args.budget,
             ),
         )
+        runner.install_sigint_handler()  # Ctrl-C → process_interrupted
         if args.resume:
             runner.resume()
         else:
@@ -108,6 +115,21 @@ def main(argv: list[str] | None = None) -> int:
         from ethos_spark.serve.admin import delete_content_by_hash
 
         print(json.dumps(delete_content_by_hash(wh, args.hashes.split(","))))
+    elif args.cmd == "serve":
+        from ethos_spark.serve.http import ApiApp, make_server
+        from ethos_spark.sources.config import SOURCES
+
+        app = ApiApp.from_warehouse(spark, args.warehouse, list(SOURCES.values()))
+        srv = make_server(app, args.host, args.port)
+        print(
+            f"Ethos API running at http://{args.host}:{srv.server_address[1]}"
+            "/api/publications",
+            flush=True,
+        )
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
     spark.stop()
     return 0
 

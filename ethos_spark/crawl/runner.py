@@ -35,7 +35,6 @@ from ethos_spark.crawl.ordering import assign_sequential_order
 from ethos_spark.crawl.politeness import politeness_topk, robots_gate, salt_hot_hosts
 from ethos_spark.extraction.content import extract_content_stage
 from ethos_spark.extraction.listing import extract_listing_stage
-from ethos_spark.functions.datefns import parse_published_date_or_none
 from ethos_spark.sources.config import SourceConfig
 
 
@@ -290,6 +289,11 @@ class CrawlRunner:
         props = self.wh.props
         listing_hint = int(props["hint_listing"]) if "hint_listing" in props else None
         carry_hint = int(props["hint_content"]) if "hint_content" in props else None
+        # the frontier counts were observed EXACTLY at the last write: an
+        # empty frontier terminates the crawl with zero Spark jobs instead
+        # of a full no-op round (~5 s of fixed stage latency saved)
+        if listing_hint == 0 and carry_hint == 0:
+            return False
 
         # ---- listing pass --------------------------------------------------
         # one page per host per round (the reference's sequential chain)
@@ -746,15 +750,16 @@ class CrawlRunner:
             self.summary.rounds = r  # terminating no-op round not counted
 
         # ---- lineage writes (pruned scans of the round's files) -------------
-        self.wh.append(
-            "session_content",
-            stored.select(
-                F.lit(self.session_id).alias("session_id"),
-                F.col("id").alias("content_id"),
-                "processed_order",
-                F.col("had_extraction_error").alias(
-                    "had_content_extraction_error"
-                ),
+        # all six writes below are independent of each other — they are
+        # BUILT here and EXECUTED concurrently from a small thread pool at
+        # the end of the round (local scheduler runs the tiny jobs in
+        # parallel, collapsing ~6 serial job latencies into ~1)
+        sc_df = stored.select(
+            F.lit(self.session_id).alias("session_id"),
+            F.col("id").alias("content_id"),
+            "processed_order",
+            F.col("had_extraction_error").alias(
+                "had_content_extraction_error"
             ),
         )
         # NOTE: the persistent URL-seen set IS pages.url_hash (every stored
@@ -764,7 +769,7 @@ class CrawlRunner:
         # session_new is already distinct on url_hash (dedup_within_batch
         # window + anti-join against prior rounds) — append as-is, no
         # distinct shuffle.
-        self.wh.append("seen_session", session_new.select("url_hash"))
+        seen_sess_df = session_new.select("url_hash")
         # per-partition lineage metrics (north_rule)
         part_metrics = (
             stored.groupBy("partition_id")
@@ -787,7 +792,7 @@ class CrawlRunner:
                 "parse_ms",
             )
         )
-        self.wh.append("metrics", part_metrics.select(*schemas.METRICS.names))
+        metrics_df = part_metrics.select(*schemas.METRICS.names)
 
         # A5/W2: per-field content extraction stats with 1-based missing-item
         # indices (ContentDataMapper.ts:31-55; offset semantics of
@@ -796,6 +801,7 @@ class CrawlRunner:
         # single pass: every field's counters + missing-item list come out
         # of ONE aggregation over stored (was one scan per field), then an
         # explode turns the wide row into FIELD_STATS rows
+        fs_df = None
         if content_field_names:
             agg_cols = [F.count("*").alias("_ta")]
             for fname in content_field_names:
@@ -842,11 +848,9 @@ class CrawlRunner:
                 F.col("f.is_optional").alias("is_optional"),
                 F.col("f.missing_items").alias("missing_items"),
             )
-            self.wh.append(
-                "field_stats", fs.select(*schemas.FIELD_STATS.names)
-            )
+            fs_df = fs.select(*schemas.FIELD_STATS.names)
 
-        tick("appends: pages/lineage/seen/metrics")
+        tick("build lineage plans")
         # frontier: remaining listing overflow + next pages + content
         # overflow — next listing pages derived DISTRIBUTED from host_round
         # (never a driver-side url list)
@@ -871,8 +875,6 @@ class CrawlRunner:
             F.sum((F.col("kind") == "listing").cast("long")).alias("n_listing"),
             F.sum((F.col("kind") == "content").cast("long")).alias("n_content"),
         )
-        self.wh.replace("frontier_pending", observed_pending)
-        pending_counts = obs.get
 
         # per-host stop lineage (a table, not driver state)
         host_stops_df = host_round.where(F.col("stop_reason").isNotNull()).select(
@@ -889,8 +891,28 @@ class CrawlRunner:
                 F.lit("fetch_error").alias("stopped_reason"),
             )
             host_stops_df = host_stops_df.unionByName(failed_hosts_df)
-        self.wh.append("host_state", host_stops_df)
-        tick("frontier replace + host_state")
+
+        # ---- execute the six independent writes concurrently ---------------
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = [
+            ("session_content", sc_df),
+            ("seen_session", seen_sess_df),
+            ("metrics", metrics_df),
+            ("host_state", host_stops_df),
+        ]
+        if fs_df is not None:
+            jobs.append(("field_stats", fs_df))
+        with ThreadPoolExecutor(max_workers=len(jobs) + 1) as ex:
+            futs = [ex.submit(self.wh.append, t, df) for t, df in jobs]
+            fut_frontier = ex.submit(
+                self.wh.replace, "frontier_pending", observed_pending
+            )
+            fut_frontier.result()
+            for f in futs:
+                f.result()
+        pending_counts = obs.get
+        tick("lineage writes + frontier replace (parallel)")
         self.wh.set_prop(
             "hint_listing", str(int(pending_counts["n_listing"] or 0))
         )
