@@ -351,6 +351,29 @@ def similarity_lsh_recall(spark, sf):
     return sim.lsh_recall_check(emb, list(range(20)), k=10, min_recall=0.8)
 
 
+def similarity_ivf_recall(spark, sf):
+    """Second ANN scale path: IVF (deterministic k-means coarse quantizer,
+    nprobe list probing) recall@10 vs exact top-k on cluster-structured
+    vectors, computed in-Spark. Oracle asserts the stable outcome."""
+    emb = sim.with_cluster_structure(_t(spark, sf, "embeddings"))
+    qids = list(range(20))
+    ann = sim.ivf_ann_topk(emb, qids, k=10, n_clusters=16, nprobe=4)
+    return sim.ann_recall_check(emb, qids, ann, k=10, min_recall=0.8)
+
+
+def embedding_near_dup(spark, sf):
+    """Embedding-cosine near-duplicate pairs over planted exact duplicates
+    (vec_id+100000 copies of the first 10 vectors); LSH-bucket-blocked on
+    the Spark side, brute-force pairs in the DuckDB oracle — identical
+    output because exact duplicates always share a bucket."""
+    emb = _t(spark, sf, "embeddings")
+    dups = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(dups)
+    return sim.embedding_near_dup_pairs(aug, threshold=0.999)
+
+
 def langid_predict(spark, sf):
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
     return ts.predict_lang(d).select(
@@ -408,6 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": simhash_pairs,
         "similarity_topk": similarity_topk,
         "similarity_lsh_recall": similarity_lsh_recall,
+        "similarity_ivf_recall": similarity_ivf_recall,
+        "embedding_near_dup": embedding_near_dup,
         "langid_predict": langid_predict,
         "quality_score": quality_score,
         "token_counts": token_counts,
@@ -625,6 +650,26 @@ def oracle_sql() -> dict[str, str]:
             -- LSH index vs exact top-k in-Spark; a recall drop below 0.8
             -- flips recall_ok and hash-mismatches this row
             SELECT 20::bigint AS n_queries, true AS recall_ok
+        """,
+        "similarity_ivf_recall": """
+            -- self-check oracle (like similarity_lsh_recall): Spark computes
+            -- IVF recall@10 vs exact in-Spark; a drop below 0.8 flips the
+            -- boolean and hash-mismatches this row
+            SELECT 20::bigint AS n_queries, true AS recall_ok
+        """,
+        "embedding_near_dup": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 10
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS score
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.999
+            ORDER BY vec_a, vec_b
         """,
         "similarity_topk": """
             SELECT q_id, neighbor_id, score, rank FROM (

@@ -50,11 +50,12 @@ class CrawlOptions:
     use_bloom_over: int = 100_000  # exact-only below this seen cardinality
     round_delay_sec: float = 0.0  # politeness delay analogue (delaySec)
     max_rounds: int = 10_000  # safety backstop
-    # broadcast the round's candidate set into the fetch/order joins only
-    # below this row count; above it (million-URL rounds at the design
-    # point) fall back to a plain shuffle join on the key — a forced
-    # broadcast of every scheduled URL is a driver/executor OOM at scale
-    broadcast_max_rows: int = 200_000
+    # broadcast the round's LIGHT candidate/order rows into the fetch and
+    # order joins only below this row count (~150 MB at 1M rows); above it
+    # (multi-million-URL rounds — a forced broadcast of every scheduled
+    # URL is a driver/executor OOM at the design point) the fetch uses a
+    # bloom-prefiltered join and the order map a shuffle join
+    broadcast_max_rows: int = 1_000_000
     # in-round fetch retry (reference PaginationHandler.ts:11-12,84-107:
     # MAX_ATTEMPTS=3, RETRY_DELAY_SEC=15 + reload). Retrying WITHIN the
     # round — like the reference's inline retry — keeps processed_order

@@ -213,10 +213,147 @@ def lsh_recall_check(
     recall@k of ``lsh_ann_topk`` against the exact ``cosine_topk`` over the
     same table. → one row (n_queries, recall_ok) — stable columns that an
     oracle can assert, while tests additionally bound the raw recall."""
-    exact = cosine_topk(emb, query_ids, k, id_col, vec_col)
     approx = lsh_ann_topk(emb, query_ids, k, id_col=id_col, vec_col=vec_col)
+    return ann_recall_check(
+        emb, query_ids, approx, k, min_recall, id_col, vec_col
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic coarse quantizer for IVF: centroids seeded with the
+    first K vectors (no RNG), refined by ``iters`` Lloyd steps. Each step
+    is one Spark pass: assign via a broadcast (K, dim) matrix inside a
+    vectorized pandas UDF, re-center via groupBy mean — the standard IVF
+    train loop. At 10^9 vectors one trains on a sample (emb.sample) with
+    identical code; K scales ~sqrt(N)."""
+    seed_rows = (
+        emb.where(F.col(id_col) < n_clusters)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    cents = np.array([r[0] for r in seed_rows], dtype=np.float64)
+    spark = emb.sparkSession
+    for _ in range(iters):
+        assign = _assign_udf(spark, cents)
+        sums = (
+            emb.withColumn("_c", assign(F.col(vec_col)))
+            .groupBy("_c")
+            .agg(
+                F.array(
+                    *[
+                        F.sum(F.col(vec_col)[i].cast("double"))
+                        for i in range(cents.shape[1])
+                    ]
+                ).alias("_sum"),
+                F.count("*").alias("_n"),
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for row in sums:
+            new[row["_c"]] = np.asarray(row["_sum"]) / row["_n"]
+        cents = new
+    return cents
+
+
+def _assign_udf(spark, cents: np.ndarray):
+    """vec → nearest-centroid index by cosine (vectorized batch matmul)."""
+    cents_b = spark.sparkContext.broadcast(
+        cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    )
+
+    @F.pandas_udf(LongType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        c = cents_b.value  # (K, dim), L2-normalized
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int64))
+
+    return assign
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: vectors are partitioned into centroid lists;
+    each query scores only its ``nprobe`` nearest lists. The second
+    scale path next to hyperplane LSH (lsh_ann_topk) — IVF adapts to the
+    data distribution where LSH is data-oblivious.
+
+    Scale shape: the list assignment is one vectorized pass; the probe
+    join keys on list id, so per-query work is nprobe/K of the corpus. At
+    10^9 vectors the lists are also the physical partitioning (write the
+    corpus bucketed by list id) and probing prunes files, not just rows."""
+    if centroids is None:
+        centroids = kmeans_centroids(emb, n_clusters, 3, id_col, vec_col)
+    spark = emb.sparkSession
+    assign = _assign_udf(spark, centroids)
+    listed = emb.withColumn("_list", assign(F.col(vec_col))).cache()
+    q = listed.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    # nprobe nearest lists per query, computed driver-free: cross the tiny
+    # query side with a literal centroid table and window-top-nprobe
+    cent_rows = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(centroids)
+    ]
+    cents_df = spark.createDataFrame(cent_rows, "_list long, _cvec array<double>")
+    probes = (
+        q.crossJoin(F.broadcast(cents_df))
+        .withColumn("_sim", cosine(F.col("q_vec"), F.col("_cvec")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("_sim"), F.asc("_list"))
+            ),
+        )
+        .where(F.col("_rk") <= nprobe)
+        .select("q_id", "q_vec", "_list")
+    )
+    pairs = listed.join(F.broadcast(probes), "_list").where(
+        F.col(id_col) != F.col("q_id")
+    )
+    scored = pairs.select(
+        "q_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("score"),
+    ).dropDuplicates(["q_id", "neighbor_id"])
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
+
+
+def ann_recall_check(
+    emb: DataFrame,
+    query_ids: list[int],
+    ann_topk: DataFrame,
+    k: int = 10,
+    min_recall: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of any ANN result against the exact ``cosine_topk`` —
+    one row (n_queries, recall_ok)."""
+    exact = cosine_topk(emb, query_ids, k, id_col, vec_col)
     hits = (
-        exact.join(approx, ["q_id", "neighbor_id"], "left_semi")
+        exact.join(ann_topk, ["q_id", "neighbor_id"], "left_semi")
         .groupBy("q_id")
         .agg(F.count("*").alias("hits"))
     )

@@ -226,19 +226,22 @@ def test_resume_from_checkpoint(spark, tmp_path, corpus_df):
 
 
 def test_shuffle_join_path_identical(spark, tmp_path, corpus_df):
-    """broadcast_max_rows=0 forces the shuffle-join fallback in the fetch
-    and order joins (the million-URL-round path); output must be identical
-    to the broadcast path."""
+    """broadcast_max_rows=0 forces the big-round fallbacks — the
+    bloom-prefiltered fetch join AND the shuffle order joins (the
+    multi-million-URL-round path); output must be identical to the
+    broadcast path."""
     wh_bc = Warehouse(spark, str(tmp_path / "wh_bc"))
     _run_crawl(spark, wh_bc, corpus_df, [listing_url(h, 1) for h in range(2)])
     wh_sh = Warehouse(spark, str(tmp_path / "wh_sh"))
-    _run_crawl(
+    runner_sh = CrawlRunner(
         spark,
         wh_sh,
-        corpus_df,
-        [listing_url(h, 1) for h in range(2)],
-        broadcast_max_rows=0,
+        CorpusFetcher(corpus_df, broadcast_max_rows=0),
+        SYNTH_SOURCE,
+        CrawlOptions(broadcast_max_rows=0),
     )
+    runner_sh.seed([listing_url(h, 1) for h in range(2)])
+    runner_sh.run()
     cols = ["processed_order", "url", "title", "content", "had_extraction_error"]
     a = sorted(map(tuple, wh_bc.read("pages").select(*cols).collect()))
     b = sorted(map(tuple, wh_sh.read("pages").select(*cols).collect()))

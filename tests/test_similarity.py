@@ -95,3 +95,12 @@ def test_with_cluster_structure_raises_similarity(spark, clustered):
     shaped = sim.with_cluster_structure(iso, n_clusters=6, alpha=0.15)
     row = sim.lsh_recall_check(shaped, list(range(10)), k=5).collect()[0]
     assert bool(row.recall_ok)
+
+
+def test_ivf_ann_recall_on_clustered(spark, clustered):
+    """IVF (deterministic k-means quantizer + nprobe probing) reaches
+    recall >= 0.8 on clustered vectors, verified via ann_recall_check."""
+    qids = [0, 40, 80, 120, 160]
+    ann = sim.ivf_ann_topk(clustered, qids, k=5, n_clusters=16, nprobe=4)
+    row = sim.ann_recall_check(clustered, qids, ann, k=5).collect()[0]
+    assert row.n_queries == 5 and bool(row.recall_ok)
