@@ -64,6 +64,12 @@ class CorpusFetcher:
     # fetched html body onto shuffle.partitions tasks — measured to
     # serialize the extract stage.
     returns_misses = False
+    # a corpus/WARC lookup cannot transiently fail: a miss is permanent,
+    # so the crawl loop skips its retry waves (each wave re-scans the
+    # corpus — measured ~14 s/round of pure waste at the scaling workload,
+    # since the synthetic corpus plants dead links by design). Real
+    # network fetchers set this False and get the full retry ladder.
+    deterministic = True
 
     def __init__(
         self,
@@ -116,6 +122,7 @@ class HttpFetcher:
 
     host_partitioned = True  # batches arrive grouped by host (politeness)
     returns_misses = True  # every candidate row comes back (html NULL on fail)
+    deterministic = False  # network failures are transient → retry
 
     def __init__(self, timeout_sec: float = 60.0, delay_sec: float = 1.0):
         self.timeout_sec = timeout_sec

@@ -329,8 +329,12 @@ class CrawlRunner:
             return lkeys.join(cur.select("url"), "url", "left_anti")
 
         n_lmiss = _listing_misses(lres).count()
+        # retries only make sense against transient failure (real HTTP); a
+        # deterministic fetcher's miss is permanent and each wasted wave
+        # re-scans the corpus
+        _retryable = not getattr(self.fetcher, "deterministic", False)
         attempt = 1
-        while n_lmiss > 0 and attempt < opt.max_fetch_attempts:
+        while _retryable and n_lmiss > 0 and attempt < opt.max_fetch_attempts:
             attempt += 1
             self.summary.fetch_retries += 1
             if opt.retry_backoff_sec:
@@ -683,7 +687,7 @@ class CrawlRunner:
         # counts, n_written from the write observation — zero extra jobs in
         # the no-failure case) are refetched up to max_fetch_attempts
         attempt = 1
-        while n_written < n_allowed and attempt < opt.max_fetch_attempts:
+        while _retryable and n_written < n_allowed and attempt < opt.max_fetch_attempts:
             attempt += 1
             self.summary.fetch_retries += 1
             if opt.retry_backoff_sec:

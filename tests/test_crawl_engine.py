@@ -261,6 +261,7 @@ class FlakyFetcher:
 
     host_partitioned = False
     returns_misses = False
+    deterministic = False  # transient failures → retry ladder active
 
     def __init__(self, corpus, fail_urls, fail_calls):
         from ethos_spark.crawl.fetcher import CorpusFetcher
