@@ -88,13 +88,14 @@ class CorpusFetcher:
             and size_hint is not None
             and size_hint <= self._broadcast_max
         ):
-            # corpus ⋈ broadcast(url-set) ⋈ broadcast(candidate cols):
-            # the html column never shuffles; output keeps the corpus
-            # scan's partitioning
-            hits = self._corpus.join(
-                F.broadcast(cand.select("url").distinct()), "url"
-            )
-            out = hits.join(F.broadcast(cand), "url")
+            # corpus ⋈ broadcast(candidates) in ONE hash join: the html
+            # column never shuffles and the output keeps the corpus scan's
+            # partitioning. (An earlier two-step — broadcast url-set
+            # semi-join, then broadcast the full candidate row — built two
+            # driver-side broadcast relations per fetch; the relation build
+            # is serial driver time, ~2s per 240k rows, and showed up
+            # directly in the scaling-efficiency gap.)
+            out = self._corpus.join(F.broadcast(cand), "url")
         elif size_hint is not None:
             from ethos_spark.crawl.dedup import BloomFilter
 

@@ -677,8 +677,15 @@ class CrawlRunner:
             vals = o.get
             return d, int(vals["n"] or 0), int(vals["errs"] or 0)
 
+        # slim the broadcast payload to the columns the pages rows need —
+        # the frontier row is 16 columns wide and broadcast-relation build
+        # time is serial driver cost proportional to broadcast bytes
+        allowed_slim = allowed.select(
+            "url", "url_hash", "host", "host_hash",
+            "title", "author", "published_date",
+        )
         pages_dir, n_written, n_errors = _append_pages(
-            _content_pass(allowed, content_hint)
+            _content_pass(allowed_slim, content_hint)
         )
         written_dirs = [pages_dir]
         tick("fetch+extract+write pages")
@@ -693,7 +700,7 @@ class CrawlRunner:
             if opt.retry_backoff_sec:
                 time.sleep(opt.retry_backoff_sec)
             done_hashes = spark.read.parquet(*written_dirs).select("url_hash")
-            miss_cand = allowed.join(done_hashes, "url_hash", "left_anti")
+            miss_cand = allowed_slim.join(done_hashes, "url_hash", "left_anti")
             d, n_got, n_err_got = _append_pages(
                 _content_pass(miss_cand, n_allowed - n_written)
             )
@@ -704,11 +711,14 @@ class CrawlRunner:
         # retry-exhausted misses: stored with an extraction-error flag,
         # exactly like the reference's failed content loads
         # (ContentPageExtractor failure → updateItemMetadata → stored with
-        # hadContentExtractionError)
+        # hadContentExtractionError). The write itself is DEFERRED into the
+        # parallel write pool below — it only has to finish before the
+        # stored-derived lineage reads start (two-phase pool).
+        missed_out = None
         if n_written < n_allowed:
             done_hashes = spark.read.parquet(*written_dirs).select("url_hash")
             missed = (
-                allowed.join(done_hashes, "url_hash", "left_anti")
+                allowed_slim.join(done_hashes, "url_hash", "left_anti")
                 .join(_maybe_broadcast(order_map), "url_hash")
                 .select(
                     F.xxhash64("url_hash").alias("id"),
@@ -736,13 +746,9 @@ class CrawlRunner:
                     ).alias("failed_fields"),
                 )
             )
-            miss_dir = self.wh.append(
-                "pages", missed.select(*schemas.PAGES_OUT.names)
-            )
-            written_dirs.append(miss_dir)
+            missed_out = missed.select(*schemas.PAGES_OUT.names)
             n_errors += n_allowed - n_written
             n_written = n_allowed
-        stored = spark.read.parquet(*written_dirs)
         n_stored = n_written
         n_blocked = blocked.count() if self.robots is not None else 0
         tick("fetch-miss reconcile")
@@ -755,18 +761,9 @@ class CrawlRunner:
             self.summary.rounds = r  # terminating no-op round not counted
 
         # ---- lineage writes (pruned scans of the round's files) -------------
-        # all six writes below are independent of each other — they are
-        # BUILT here and EXECUTED concurrently from a small thread pool at
-        # the end of the round (local scheduler runs the tiny jobs in
-        # parallel, collapsing ~6 serial job latencies into ~1)
-        sc_df = stored.select(
-            F.lit(self.session_id).alias("session_id"),
-            F.col("id").alias("content_id"),
-            "processed_order",
-            F.col("had_extraction_error").alias(
-                "had_content_extraction_error"
-            ),
-        )
+        # the stored-derived jobs are built by a closure so they can be
+        # constructed INSIDE the write pool, as soon as the deferred miss
+        # write (if any) lands its data dir
         # NOTE: the persistent URL-seen set IS pages.url_hash (every stored
         # row appends exactly one seen entry) — reading it as a
         # column-pruned projection of pages costs the same scan as a
@@ -775,85 +772,96 @@ class CrawlRunner:
         # window + anti-join against prior rounds) — append as-is, no
         # distinct shuffle.
         seen_sess_df = session_new.select("url_hash")
-        # per-partition lineage metrics (north_rule)
-        part_metrics = (
-            stored.groupBy("partition_id")
-            .agg(
-                F.count("*").alias("contents_crawled"),
-                F.sum("fetch_ms").alias("fetch_ms"),
-                F.sum("parse_ms").alias("parse_ms"),
-            )
-            .select(
-                F.lit(self.session_id).alias("session_id"),
-                F.lit(r).alias("round"),
-                "partition_id",
-                F.lit(n_page_items).alias("items_found"),
-                F.lit(n_stored).alias("items_processed"),
-                F.lit(n_page_items - n_new_total).alias("duplicates_skipped"),
-                F.lit(int(g["n_excluded"] or 0)).alias("urls_excluded"),
-                F.lit(int(g["n_filtered"] or 0)).alias("total_filtered"),
-                "contents_crawled",
-                "fetch_ms",
-                "parse_ms",
-            )
-        )
-        metrics_df = part_metrics.select(*schemas.METRICS.names)
 
-        # A5/W2: per-field content extraction stats with 1-based missing-item
-        # indices (ContentDataMapper.ts:31-55; offset semantics of
-        # ListingPageExtractor.ts:307). Index = processed_order (the global
-        # 1-based item counter the reference threads through as itemOffset).
-        # single pass: every field's counters + missing-item list come out
-        # of ONE aggregation over stored (was one scan per field), then an
-        # explode turns the wide row into FIELD_STATS rows
-        fs_df = None
-        if content_field_names:
-            agg_cols = [F.count("*").alias("_ta")]
-            for fname in content_field_names:
-                failed = F.array_contains(F.col("failed_fields"), fname)
-                agg_cols.append(
-                    F.sum((~failed).cast("long")).alias(f"_sc_{fname}")
-                )
-                agg_cols.append(
-                    F.slice(
-                        F.sort_array(
-                            F.collect_list(
-                                F.when(failed, F.col("processed_order"))
-                            )
-                        ),
-                        1,
-                        10_000,  # bound per-round list growth
-                    ).alias(f"_mi_{fname}")
-                )
-            wide = stored.agg(*agg_cols)
-            fs = wide.select(
-                "_ta",
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(fname).alias("field_name"),
-                                F.col(f"_sc_{fname}").alias("success_count"),
-                                F.lit(
-                                    self.config.content.fields[fname].optional
-                                ).alias("is_optional"),
-                                F.col(f"_mi_{fname}").alias("missing_items"),
-                            )
-                            for fname in content_field_names
-                        ]
-                    )
-                ).alias("f"),
-            ).select(
+        def _stored_jobs(stored: DataFrame) -> list[tuple[str, DataFrame]]:
+            sc_df = stored.select(
                 F.lit(self.session_id).alias("session_id"),
-                F.lit(r).alias("round"),
-                F.lit("content").alias("stage"),
-                F.col("f.field_name").alias("field_name"),
-                F.col("f.success_count").alias("success_count"),
-                F.col("_ta").alias("total_attempts"),
-                F.col("f.is_optional").alias("is_optional"),
-                F.col("f.missing_items").alias("missing_items"),
+                F.col("id").alias("content_id"),
+                "processed_order",
+                F.col("had_extraction_error").alias(
+                    "had_content_extraction_error"
+                ),
             )
-            fs_df = fs.select(*schemas.FIELD_STATS.names)
+            # per-partition lineage metrics (north_rule)
+            part_metrics = (
+                stored.groupBy("partition_id")
+                .agg(
+                    F.count("*").alias("contents_crawled"),
+                    F.sum("fetch_ms").alias("fetch_ms"),
+                    F.sum("parse_ms").alias("parse_ms"),
+                )
+                .select(
+                    F.lit(self.session_id).alias("session_id"),
+                    F.lit(r).alias("round"),
+                    "partition_id",
+                    F.lit(n_page_items).alias("items_found"),
+                    F.lit(n_stored).alias("items_processed"),
+                    F.lit(n_page_items - n_new_total - n_date_err).alias(
+                        "duplicates_skipped"
+                    ),
+                    F.lit(int(g["n_excluded"] or 0)).alias("urls_excluded"),
+                    F.lit(int(g["n_filtered"] or 0)).alias("total_filtered"),
+                    "contents_crawled",
+                    "fetch_ms",
+                    "parse_ms",
+                )
+            )
+            out = [
+                ("session_content", sc_df),
+                ("metrics", part_metrics.select(*schemas.METRICS.names)),
+            ]
+            # A5/W2: per-field content extraction stats with 1-based
+            # missing-item indices (ContentDataMapper.ts:31-55; offset
+            # semantics of ListingPageExtractor.ts:307). Index =
+            # processed_order (the reference's global item counter). ONE
+            # aggregation pass over stored, exploded into FIELD_STATS rows.
+            if content_field_names:
+                agg_cols = [F.count("*").alias("_ta")]
+                for fname in content_field_names:
+                    failed = F.array_contains(F.col("failed_fields"), fname)
+                    agg_cols.append(
+                        F.sum((~failed).cast("long")).alias(f"_sc_{fname}")
+                    )
+                    agg_cols.append(
+                        F.slice(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.when(failed, F.col("processed_order"))
+                                )
+                            ),
+                            1,
+                            10_000,  # bound per-round list growth
+                        ).alias(f"_mi_{fname}")
+                    )
+                fs = stored.agg(*agg_cols).select(
+                    "_ta",
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(fname).alias("field_name"),
+                                    F.col(f"_sc_{fname}").alias("success_count"),
+                                    F.lit(
+                                        self.config.content.fields[fname].optional
+                                    ).alias("is_optional"),
+                                    F.col(f"_mi_{fname}").alias("missing_items"),
+                                )
+                                for fname in content_field_names
+                            ]
+                        )
+                    ).alias("f"),
+                ).select(
+                    F.lit(self.session_id).alias("session_id"),
+                    F.lit(r).alias("round"),
+                    F.lit("content").alias("stage"),
+                    F.col("f.field_name").alias("field_name"),
+                    F.col("f.success_count").alias("success_count"),
+                    F.col("_ta").alias("total_attempts"),
+                    F.col("f.is_optional").alias("is_optional"),
+                    F.col("f.missing_items").alias("missing_items"),
+                )
+                out.append(("field_stats", fs.select(*schemas.FIELD_STATS.names)))
+            return out
 
         tick("build lineage plans")
         # frontier: remaining listing overflow + next pages + content
@@ -897,22 +905,33 @@ class CrawlRunner:
             )
             host_stops_df = host_stops_df.unionByName(failed_hosts_df)
 
-        # ---- execute the six independent writes concurrently ---------------
+        # ---- execute the independent writes concurrently --------------------
+        # two-phase pool: phase A starts everything that does not read the
+        # stored pages (frontier, host_state, seen_session) plus the
+        # deferred miss-error write; as soon as the miss write lands, the
+        # stored-derived lineage jobs are built and join the pool.
         from concurrent.futures import ThreadPoolExecutor
 
-        jobs = [
-            ("session_content", sc_df),
+        phase_a = [
             ("seen_session", seen_sess_df),
-            ("metrics", metrics_df),
             ("host_state", host_stops_df),
         ]
-        if fs_df is not None:
-            jobs.append(("field_stats", fs_df))
-        with ThreadPoolExecutor(max_workers=len(jobs) + 1) as ex:
-            futs = [ex.submit(self.wh.append, t, df) for t, df in jobs]
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            futs = [ex.submit(self.wh.append, t, df) for t, df in phase_a]
             fut_frontier = ex.submit(
                 self.wh.replace, "frontier_pending", observed_pending
             )
+            fut_miss = (
+                ex.submit(self.wh.append, "pages", missed_out)
+                if missed_out is not None
+                else None
+            )
+            if fut_miss is not None:
+                written_dirs.append(fut_miss.result())
+            stored = spark.read.parquet(*written_dirs)
+            futs += [
+                ex.submit(self.wh.append, t, df) for t, df in _stored_jobs(stored)
+            ]
             fut_frontier.result()
             for f in futs:
                 f.result()
