@@ -325,6 +325,14 @@ def dedup_minhash_lsh(spark, sf):
     return dd.minhash_lsh_pairs(_neardup_docs(spark, sf), "doc_id", "text", 5, 0.6)
 
 
+def dedup_clusters(spark, sf):
+    """Connected components over exact near-dup pairs: (doc_id, cluster_id
+    = min reachable doc id) — the canonical-doc selection step after pair
+    generation. Oracle: DuckDB recursive CTE transitive closure."""
+    pairs = dd.ngram_jaccard_pairs(_neardup_docs(spark, sf), "doc_id", "text", 5, 0.6)
+    return dd.dup_clusters(pairs)
+
+
 def dedup_simhash(spark, sf):
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 200).select("doc_id", "text")
     return dd.simhash(d, "doc_id", "text")
@@ -427,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_clusters": dedup_clusters,
         "dedup_simhash": dedup_simhash,
         "simhash_pairs": simhash_pairs,
         "similarity_topk": similarity_topk,
@@ -635,6 +644,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _JACCARD_SQL,
         # LSH with recall≈1 at the chosen banding equals the brute-force set
         "dedup_minhash_lsh": _JACCARD_SQL,
+        "dedup_clusters": f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+jp AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+),
+sym AS (SELECT doc_a, doc_b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+reach(src, dst) AS (
+  SELECT doc_a, doc_b FROM sym
+  UNION
+  SELECT r.src, s.doc_b FROM reach r JOIN sym s ON r.dst = s.doc_a
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id
+""",
         "dedup_simhash": _simhash_sql("doc_id < 200", False)
         + "SELECT doc_id, simhash FROM sigs ORDER BY doc_id",
         "simhash_pairs": _simhash_sql("doc_id < 200", True)

@@ -356,6 +356,74 @@ def simhash_pairs(
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-duplicate pairs → one row per doc
+    appearing in any pair: (doc_id, cluster_id) with cluster_id = the
+    smallest doc id reachable through the pair graph. The step after pair
+    generation in every dedup pipeline: pick ONE canonical doc (min id)
+    per duplicate cluster and drop the rest.
+
+    Algorithm: iterative min-label propagation (the shuffle-on-key core of
+    large-star/small-star CC). Each iteration is one join + groupBy on the
+    symmetric edge list; convergence is detected with an Observation-free
+    changed-count aggregate. Near-dup graphs have tiny diameter (dup
+    chains), so 2-3 iterations suffice in practice; ``max_iter`` bounds
+    adversarial chains. All shuffles key on doc id — no driver-side graph.
+    """
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.union(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).cache()
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["doc_id"] == neigh_min["doc_a"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "doc_id"
+            )
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy(
+        "doc_id"
+    )
+
+
+def cluster_summary(clusters: DataFrame) -> DataFrame:
+    """(cluster_id, keep_id, n_docs): canonical doc = min id per cluster."""
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
+        .select("cluster_id", "keep_id", "n_docs")
+        .orderBy("cluster_id")
+    )
+
+
 def with_near_dup_copies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Test-harness helper: union deterministic near-duplicate copies
     (drop the last word; id + 10_000_000) so near-dup operators have

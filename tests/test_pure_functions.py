@@ -133,3 +133,24 @@ def test_vectorized_date_parse_equivalence():
     vec = list(parse_published_dates_series(s, NOW))
     ref = [parse_published_date_or_none(x, NOW) for x in cases]
     assert vec == ref
+
+
+def test_dup_cluster_summary_semantics():
+    """dup_clusters/cluster_summary over a known pair graph: two chains and
+    an isolated pair -> min-id labels, canonical keep ids, sizes."""
+    from ethos_spark.ops.dedup import cluster_summary, dup_clusters
+    from ethos_spark.session import get_spark
+
+    spark = get_spark("test-cc", master="local[2]", shuffle_partitions=2)
+    # components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,6}, {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 6), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    cl = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert cl == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5, 10: 10, 11: 10}
+    summ = {
+        r.cluster_id: (r.keep_id, r.n_docs)
+        for r in cluster_summary(dup_clusters(pairs)).collect()
+    }
+    assert summ == {1: (1, 4), 5: (5, 2), 10: (10, 2)}
