@@ -773,6 +773,51 @@ class CrawlRunner:
         # distinct shuffle.
         seen_sess_df = session_new.select("url_hash")
 
+        # A5 listing side: per-field extraction stats aggregated from the
+        # per-page struct arrays lres carries (ListingPageExtractor.ts:
+        # 299-309). Missing index = currentItemOffset + local container
+        # index, where currentItemOffset is metadata.itemsProcessed at
+        # page-extraction time (ArticleListingCrawler.ts:50-55) — in this
+        # engine the round-start order_offset, which matches the reference
+        # EXACTLY for its own one-source-per-session model (multi-host
+        # rounds share the one global counter; documented extension).
+        lfields = self.config.listing.fields
+        opt_map = F.create_map(
+            *[
+                c
+                for name, fc in lfields.items()
+                for c in (F.lit(name), F.lit(bool(fc.optional)))
+            ]
+        )
+        lfs_df = (
+            lres.select(F.explode("field_stats").alias("s"))
+            .groupBy(F.col("s.field").alias("field_name"))
+            .agg(
+                F.sum("s.success").alias("success_count"),
+                F.sum("s.attempts").alias("total_attempts"),
+                F.slice(
+                    F.sort_array(F.flatten(F.collect_list("s.missing"))),
+                    1,
+                    10_000,
+                ).alias("missing_local"),
+            )
+            .select(
+                F.lit(self.session_id).alias("session_id"),
+                F.lit(r).alias("round"),
+                F.lit("listing").alias("stage"),
+                "field_name",
+                "success_count",
+                "total_attempts",
+                F.coalesce(opt_map[F.col("field_name")], F.lit(False)).alias(
+                    "is_optional"
+                ),
+                F.transform(
+                    "missing_local", lambda x: (x + F.lit(offset)).cast("long")
+                ).alias("missing_items"),
+            )
+            .select(*schemas.FIELD_STATS.names)
+        )
+
         def _stored_jobs(stored: DataFrame) -> list[tuple[str, DataFrame]]:
             sc_df = stored.select(
                 F.lit(self.session_id).alias("session_id"),
@@ -915,6 +960,7 @@ class CrawlRunner:
         phase_a = [
             ("seen_session", seen_sess_df),
             ("host_state", host_stops_df),
+            ("field_stats", lfs_df),
         ]
         with ThreadPoolExecutor(max_workers=8) as ex:
             futs = [ex.submit(self.wh.append, t, df) for t, df in phase_a]

@@ -36,6 +36,11 @@ def extract_listing_items(html: str, config: ListingConfig, page_url: str) -> di
     items: list[dict] = []
     excluded_urls: list[str] = []
     filtered_reasons: list[str] = []
+    # per-field stats over NON-EXCLUDED containers, local 1-based indices
+    # (ListingPageExtractor.ts:299-309: totalAttempts++ per field per
+    # result, missingItems gets currentItemOffset + itemIndex + 1 where
+    # itemIndex counts ALL containers; the offset is added Spark-side)
+    stats = {name: [0, 0, []] for name in config.fields}
 
     for idx, el in enumerate(containers):
         values: dict[str, str | None] = {}
@@ -63,6 +68,14 @@ def extract_listing_items(html: str, config: ListingConfig, page_url: str) -> di
             if values.get("url"):
                 excluded_urls.append(values["url"])
             continue
+
+        for name in config.fields:
+            st = stats[name]
+            st[1] += 1
+            if values[name] is not None:
+                st[0] += 1
+            else:
+                st[2].append(idx + 1)
 
         if missing_required:
             filtered_reasons.append(
@@ -99,13 +112,19 @@ def extract_listing_items(html: str, config: ListingConfig, page_url: str) -> di
         "filtered_count": len(filtered_reasons),
         "filtered_reasons": filtered_reasons,
         "next_url": next_url,
+        "field_stats": [
+            {"field": n, "success": s[0], "attempts": s[1], "missing": s[2]}
+            for n, s in stats.items()
+        ],
     }
 
 
 LISTING_RESULT_DDL = (
     "url string, listing_url string, items array<struct<url:string,"
     "title:string,author:string,published_raw:string,item_index:int>>, "
-    "excluded_urls array<string>, filtered_count int, next_url string"
+    "excluded_urls array<string>, filtered_count int, next_url string, "
+    "field_stats array<struct<field:string,success:int,attempts:int,"
+    "missing:array<int>>>"
 )
 
 
@@ -117,7 +136,7 @@ def extract_listing_stage(df, config: ListingConfig):
             out = []
             for url, html in zip(pdf["url"], pdf["html"]):
                 if html is None:
-                    out.append((url, url, [], [], 0, None))
+                    out.append((url, url, [], [], 0, None, []))
                     continue
                 r = extract_listing_items(
                     bytes(html).decode("utf-8", "replace"), config, url
@@ -139,6 +158,10 @@ def extract_listing_stage(df, config: ListingConfig):
                         r["excluded_urls"],
                         r["filtered_count"],
                         r["next_url"],
+                        [
+                            (s["field"], s["success"], s["attempts"], s["missing"])
+                            for s in r["field_stats"]
+                        ],
                     )
                 )
             yield pd.DataFrame(
@@ -150,6 +173,7 @@ def extract_listing_stage(df, config: ListingConfig):
                     "excluded_urls",
                     "filtered_count",
                     "next_url",
+                    "field_stats",
                 ],
             )
 

@@ -454,3 +454,68 @@ def test_bad_date_quarantine_counters(spark, tmp_path):
     assert s.items_found == 1  # found = processed + dup + filtered
     urls = [r.url for r in wh.read("pages").collect()]
     assert urls == [f"https://{host}/a/good"]
+
+
+def test_listing_field_stats(spark, tmp_path):
+    """A5 listing side: per-field attempts/success/missing over NON-EXCLUDED
+    containers, with reference index semantics (container index + the
+    itemsProcessed offset at page time; ListingPageExtractor.ts:299-309)."""
+    page = (
+        "<html><body>"
+        '<div class="post-list">'
+        # idx 0: full item
+        '<div class="post-item"><span class="post-title">A</span>'
+        '<a class="post-link" href="/a/a0">read</a>'
+        '<span class="post-date">2025-03-01</span>'
+        '<span class="post-author">Ann</span></div>'
+        # idx 1: missing author (optional) and date
+        '<div class="post-item"><span class="post-title">B</span>'
+        '<a class="post-link" href="/a/b1">read</a></div>'
+        # idx 2: excluded container -> NO stats, but idx advances
+        '<div class="post-item post-item--external">'
+        '<span class="post-title">X</span>'
+        '<a class="post-link" href="/a/x2">read</a>'
+        '<span class="post-date">2025-03-02</span></div>'
+        # idx 3: missing required url -> filtered, but stats still count
+        '<div class="post-item"><span class="post-title">C</span>'
+        '<span class="post-date">2025-03-03</span></div>'
+        "</div></body></html>"
+    )
+    art = (
+        "<html><body><div id='main'><header><h1>T</h1></header>"
+        "<div class='article-body'><p>Body.</p></div></div></body></html>"
+    )
+    host = "fs.example.org"
+    corpus = spark.createDataFrame(
+        [
+            (f"https://{host}/list/1", page.encode()),
+            (f"https://{host}/a/a0", art.encode()),
+            (f"https://{host}/a/b1", art.encode()),
+        ],
+        "url string, html binary",
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh_lfs"))
+    runner = CrawlRunner(
+        spark, wh, CorpusFetcher(corpus), SYNTH_SOURCE, CrawlOptions()
+    )
+    runner.seed([f"https://{host}/list/1"])
+    runner.run()
+    rows = {
+        r.field_name: r
+        for r in wh.read("field_stats").where(F.col("stage") == "listing").collect()
+    }
+    # 3 non-excluded containers attempted for every field
+    assert rows["title"].total_attempts == 3
+    assert rows["title"].success_count == 3
+    assert rows["url"].success_count == 2
+    # missing indices are 1-based container positions (idx 3 -> 4), offset 0
+    assert list(rows["url"].missing_items) == [4]
+    assert rows["publishedDate"].success_count == 2
+    assert list(rows["publishedDate"].missing_items) == [2]
+    assert rows["author"].success_count == 1
+    assert bool(rows["author"].is_optional) is True
+    assert sorted(rows["author"].missing_items) == [2, 4]
+    # content-stage rows coexist in the same table
+    assert (
+        wh.read("field_stats").where(F.col("stage") == "content").count() > 0
+    )
