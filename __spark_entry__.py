@@ -405,6 +405,39 @@ def token_counts(spark, sf):
     ).orderBy("doc_id")
 
 
+def streaming_windowed_events(spark, sf):
+    """Structured Streaming path, oracle-checked: 1-day event-time windows
+    + 1-hour watermark over a file-source stream, drained deterministically
+    (availableNow) — equals the batch GROUP BY, which is the SQL oracle."""
+    from ethos_spark.streaming.events_stream import (
+        drain_to_memory,
+        read_events_stream,
+        windowed_event_counts,
+    )
+
+    out = drain_to_memory(
+        windowed_event_counts(read_events_stream(spark, sf, "events*.parquet"))
+    )
+    return out.orderBy("day", "event_type")
+
+
+def streaming_user_totals(spark, sf):
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running totals in explicit group state; a full drain equals the batch
+    per-user aggregate (the SQL oracle)."""
+    from ethos_spark.streaming.events_stream import (
+        drain_to_memory,
+        read_events_stream,
+        user_running_totals,
+    )
+
+    out = drain_to_memory(
+        user_running_totals(read_events_stream(spark, sf, "events*.parquet")),
+        complete=False,
+    )
+    return out.orderBy("user_id")
+
+
 def multimodal_decode(spark, sf):
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
     meta = decode_media(attach_png_payload(d))
@@ -445,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_predict": langid_predict,
         "quality_score": quality_score,
         "token_counts": token_counts,
+        "streaming_windowed_events": streaming_windowed_events,
+        "streaming_user_totals": streaming_user_totals,
         "multimodal_decode": multimodal_decode,
     }
 
@@ -782,6 +817,17 @@ FROM reach GROUP BY src ORDER BY doc_id
                          + least(round(hits_en / greatest(n_tokens, 1)::double, 6) * 5.0, 1.0) * 0.3
                          + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2) * 1e6)::bigint AS quality_u
             FROM feat ORDER BY doc_id
+        """,
+        "streaming_windowed_events": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type, count(*)::bigint AS n_events,
+                   round(sum(value) * 1e4)::bigint AS sum_value_u
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "streaming_user_totals": """
+            SELECT user_id, count(*)::bigint AS n_events,
+                   round(sum(value) * 1e4)::bigint AS sum_value_u
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "multimodal_decode": """
             -- the Spark side builds a 33-byte PNG header whose dims encode
