@@ -37,6 +37,10 @@ MEDIA_META = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("codec", T.StringType()),
+        # audio fields (NULL for images): RIFF/WAVE fmt chunk
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
     ]
 )
 
@@ -47,7 +51,8 @@ _JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
 
 
 def parse_image_meta(payload: bytes) -> dict:
-    """Container-header metadata from raw image bytes (public formats)."""
+    """Container-header metadata from raw image/audio bytes (public
+    formats, stdlib struct only)."""
     n = len(payload)
     meta = {
         "n_bytes": n,
@@ -55,8 +60,34 @@ def parse_image_meta(payload: bytes) -> dict:
         "width": n % 640,
         "height": (n * 7) % 480,
         "codec": "raw",
+        "sample_rate": None,
+        "n_channels": None,
+        "n_frames": None,
     }
     try:
+        if n >= 36 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            # walk RIFF chunks to fmt (PCM header: channels, rate) + data
+            i, rate, ch, bps, data_len = 12, None, None, None, None
+            while i + 8 <= n:
+                cid = payload[i : i + 4]
+                clen = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+                if cid == b"fmt " and i + 24 <= n:
+                    ch, rate = struct.unpack("<HI", payload[i + 10 : i + 16])
+                    bps = struct.unpack("<H", payload[i + 22 : i + 24])[0]
+                elif cid == b"data":
+                    data_len = clen
+                i += 8 + clen + (clen & 1)
+            if rate and ch:
+                frames = (
+                    data_len // (ch * max(bps or 8, 8) // 8)
+                    if data_len is not None
+                    else None
+                )
+                meta.update(
+                    width=0, height=0, codec="wav",
+                    sample_rate=rate, n_channels=ch, n_frames=frames,
+                )
+            return meta
         if n >= 24 and payload[:8] == _PNG_SIG and payload[12:16] == b"IHDR":
             w, h = struct.unpack(">II", payload[16:24])
             meta.update(width=w, height=h, codec="png")
@@ -140,6 +171,98 @@ def decode_media(
             out = pd.DataFrame(metas)
             out.insert(0, id_col, pdf[id_col].to_numpy())
             yield out
+
+    return df.select(id_col, media_col).mapInPandas(run, out_schema)
+
+
+def resize_raw_rgb(
+    df: DataFrame,
+    src_w: int,
+    src_h: int,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """REAL nearest-neighbor resample over raw interleaved RGB bitmaps
+    (``src_w*src_h*3`` bytes/row) — pure numpy fancy-indexing inside the
+    Arrow batch, no codec library. Compressed payloads (png/jpeg) need a
+    decoder this container doesn't ship; ``resize_stub`` marks that
+    boundary. Undersized payloads → NULL output row (kept, flagged by the
+    NULL, mirroring the engine's quarantine style)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    need = src_w * src_h * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ys = np.arange(target_h) * src_h // target_h
+        xs = np.arange(target_w) * src_w // target_w
+        for pdf in batches:
+            media = []
+            for p in pdf[media_col]:
+                if p is None or len(p) < need:
+                    media.append(None)
+                    continue
+                img = np.frombuffer(bytes(p)[:need], dtype=np.uint8).reshape(
+                    src_h, src_w, 3
+                )
+                media.append(img[ys][:, xs].tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "media": media,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_w: int,
+    frame_h: int,
+    every_k: int,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Frame sampling over raw concatenated-RGB-frame 'video' payloads:
+    emit every k-th frame as its own row (id, frame_idx, media) — the
+    UDTF-style one-row-in/many-out shape a video pipeline needs, real
+    kernel (numpy slicing), mapInPandas."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+    fsize = frame_w * frame_h * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[media_col]):
+                if p is None:
+                    continue
+                b = bytes(p)
+                n_frames = len(b) // fsize
+                for j in range(0, n_frames, every_k):
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    frames.append(b[j * fsize : (j + 1) * fsize])
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "media": frames}
+            )
 
     return df.select(id_col, media_col).mapInPandas(run, out_schema)
 

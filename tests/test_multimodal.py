@@ -57,3 +57,55 @@ def test_raw_fallback_and_truncation():
     assert parse_image_meta(b"\x89PNG")["codec"] == "raw"
     assert parse_image_meta(b"")["codec"] == "raw"
     assert parse_image_meta(b"\xff\xd8\xff")["codec"] == "raw"
+
+
+def test_wav_header():
+    # minimal RIFF/WAVE: fmt (PCM stereo 44100, 16-bit) + 8 bytes of data
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    data = b"\x00" * 8
+    riff = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    m = parse_image_meta(riff)
+    assert m["codec"] == "wav"
+    assert (m["sample_rate"], m["n_channels"], m["n_frames"]) == (44100, 2, 2)
+    # images report NULL audio fields
+    assert parse_image_meta(synth_png(4, 4))["sample_rate"] is None
+
+
+def test_resize_and_frame_sampling_spark():
+    import numpy as np
+
+    from ethos_spark.ops.multimodal import resize_raw_rgb, sample_frames
+    from ethos_spark.session import get_spark
+
+    spark = get_spark("test-mm", master="local[2]", shuffle_partitions=2)
+    # 4x4 RGB gradient: pixel (y,x) = (y*4+x, 0, 255-(y*4+x))
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    for y in range(4):
+        for x in range(4):
+            img[y, x] = (y * 4 + x, 0, 255 - (y * 4 + x))
+    df = spark.createDataFrame(
+        [(1, bytearray(img.tobytes()))], "doc_id long, media binary"
+    )
+    out = resize_raw_rgb(df, 4, 4, 2, 2).collect()[0]
+    got = np.frombuffer(bytes(out.media), dtype=np.uint8).reshape(2, 2, 3)
+    # nearest-neighbor picks source pixels (0,0),(0,2),(2,0),(2,2)
+    assert [tuple(got[y, x]) for y in range(2) for x in range(2)] == [
+        (0, 0, 255), (2, 0, 253), (8, 0, 247), (10, 0, 245)
+    ]
+    # undersized payload -> NULL media row kept
+    short = spark.createDataFrame([(2, bytearray(b"xx"))], "doc_id long, media binary")
+    assert resize_raw_rgb(short, 4, 4, 2, 2).collect()[0].media is None
+
+    # 'video' = 5 concatenated 2x2 frames, sample every 2nd
+    frame = lambda v: bytes([v] * 12)
+    vid = b"".join(frame(i) for i in range(5))
+    vdf = spark.createDataFrame([(7, bytearray(vid))], "doc_id long, media binary")
+    rows = sorted(
+        (r.frame_idx, bytes(r.media)[0]) for r in sample_frames(vdf, 2, 2, 2).collect()
+    )
+    assert rows == [(0, 0), (2, 2), (4, 4)]
