@@ -18,6 +18,24 @@ import tempfile
 import time
 
 
+def warm_session(spark, sf_dir: str) -> None:
+    """Untimed engine warm-up: JVM codegen, parquet footer caches, one
+    Arrow python worker per core. Query timings should measure the
+    queries, not Spark boot (a long-running cluster is always warm)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    for t in ("lineitem", "documents", "embeddings", "orders"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+
+    def _noop(it):
+        for pdf in it:
+            yield pdf
+
+    n = spark.sparkContext.defaultParallelism
+    spark.range(n * 4, numPartitions=n).mapInPandas(_noop, "id long").count()
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as E
 
@@ -101,6 +119,7 @@ def main() -> None:
 
     spark = get_spark("ethos-bench", master=f"local[{cpus}]")
     try:
+        warm_session(spark, sf_dir)
         queries = bench_queries(spark, sf_dir)
         crawl = None if skip_crawl else bench_crawl(spark, n_hosts, n_articles)
         total = round(sum(queries.values()) + (crawl["wall_sec"] if crawl else 0), 3)
