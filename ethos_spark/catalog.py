@@ -199,7 +199,12 @@ class Warehouse:
         return self._staged if self._staged is not None else self._manifest.tables
 
     def read(self, table: str, schema=None) -> DataFrame:
-        if table in self._rows() or table in self.ROW_TABLE_SCHEMAS:
+        # row tables read from the manifest; a LEGACY warehouse that still
+        # has parquet dirs for a registered row table (pre-migration
+        # snapshot) falls through to the dirs until its first row write
+        if table in self._rows() or (
+            table in self.ROW_TABLE_SCHEMAS and not self._tables().get(table)
+        ):
             return self._rows_df(table, schema)
         dirs = self._tables().get(table, [])
         dirs = [d for d in dirs if os.path.exists(d)]
