@@ -3,7 +3,7 @@
 Usage:
     cd /root/repo && zip -qr /tmp/ethos_spark.zip ethos_spark
     spark-submit --master local[8] --py-files /tmp/ethos_spark.zip \
-        scripts/submit_crawl.py --warehouse /tmp/wh --corpus /tmp/corpus \
+        scripts/submit_crawl.py crawl --warehouse /tmp/wh --corpus /tmp/corpus \
         --seeds https://news-0.example.org/list/1
 
 The script only imports from the shipped zip — it proves the package is
