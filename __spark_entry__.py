@@ -435,7 +435,15 @@ def streaming_user_totals(spark, sf):
         user_running_totals(read_events_stream(spark, sf, "events*.parquet")),
         complete=False,
     )
-    return out.orderBy("user_id")
+    # the update-mode sink holds EVERY emission; keep only the final
+    # running total per user (n_events is strictly increasing per user)
+    # so the result is correct even if the drain runs as several
+    # micro-batches (e.g. maxFilesPerTrigger, multiple file arrivals).
+    final = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value_u", "n_events").alias("sum_value_u"),
+    )
+    return final.orderBy("user_id")
 
 
 def multimodal_decode(spark, sf):

@@ -166,13 +166,33 @@ class Warehouse:
 
     def upsert_rows(self, table: str, row: dict, key: str) -> None:
         """Insert-or-replace one JSON row by ``row[key]`` — driver-side, no
-        Spark job; visible after commit(). datetimes are stored ISO."""
+        Spark job; visible after commit(). datetimes are stored ISO.
+
+        Legacy migration: the FIRST row-write to a table that still has
+        parquet data dirs (a pre-row-table warehouse) folds the parquet
+        rows into the manifest row table first, so history isn't shadowed
+        — the read() fallthrough only covers tables never row-written."""
         self._begin()
         r = {
             k: (v.isoformat() if isinstance(v, datetime) else v)
             for k, v in row.items()
         }
         with self._lock:
+            if table not in self._staged_rows and self._staged.get(table):
+                dirs = [d for d in self._staged[table] if os.path.exists(d)]
+                if dirs:
+                    self._staged_rows[table] = [
+                        {
+                            k: (
+                                v.isoformat()
+                                if isinstance(v, datetime)
+                                else v
+                            )
+                            for k, v in lr.asDict().items()
+                        }
+                        for lr in self.spark.read.parquet(*dirs).collect()
+                    ]
+                self._staged[table] = []  # row table owns the data now
             cur = {x[key]: x for x in self._staged_rows.get(table, [])}
             cur[r[key]] = r
             self._staged_rows[table] = list(cur.values())

@@ -364,11 +364,13 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     per duplicate cluster and drop the rest.
 
     Algorithm: iterative min-label propagation (the shuffle-on-key core of
-    large-star/small-star CC). Each iteration is one join + groupBy on the
-    symmetric edge list; convergence is detected with an Observation-free
-    changed-count aggregate. Near-dup graphs have tiny diameter (dup
-    chains), so 2-3 iterations suffice in practice; ``max_iter`` bounds
-    adversarial chains. All shuffles key on doc id — no driver-side graph.
+    large-star/small-star CC) plus a pointer-doubling shortcut each
+    iteration (label := label(label)), so chains of diameter d converge in
+    O(log d) rounds instead of O(d) — long boilerplate dup chains at corpus
+    scale stay cheap. Convergence is detected with a changed-count
+    aggregate; if ``max_iter`` rounds pass without converging the function
+    RAISES rather than silently returning wrong cluster ids. All shuffles
+    key on doc id — no driver-side graph.
     """
     edges = pairs.select("doc_a", "doc_b")
     sym = edges.union(
@@ -376,26 +378,43 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).cache()
+    # eager localCheckpoint truncates lineage each round — the shortcut's
+    # self-join would otherwise DOUBLE the logical plan per iteration and
+    # blow up driver analysis (classic iterative-algorithm pitfall).
     labels = (
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .cache()
+        .localCheckpoint()
     )
-    labels.count()
+    changed = 0
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym["doc_b"] == labels["doc_id"])
             .groupBy("doc_a")
             .agg(F.min("label").alias("nl"))
         )
+        propagated = labels.join(
+            neigh_min, labels["doc_id"] == neigh_min["doc_a"], "left"
+        ).select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+        )
+        # pointer-doubling shortcut: label := label(label). Labels are
+        # always doc ids in the node set, so the self-join resolves; this
+        # halves remaining chain depth every round (O(log d) convergence).
+        lab2 = propagated.select(
+            F.col("doc_id").alias("l_doc"), F.col("label").alias("l_lab")
+        )
         new_labels = (
-            labels.join(neigh_min, labels["doc_id"] == neigh_min["doc_a"], "left")
+            propagated.join(lab2, propagated["label"] == lab2["l_doc"], "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+                F.least(
+                    F.col("label"), F.coalesce("l_lab", "label")
+                ).alias("label"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(
@@ -404,11 +423,15 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .where(F.col("label") != F.col("old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy(
         "doc_id"
     )

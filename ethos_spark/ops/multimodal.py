@@ -101,6 +101,11 @@ def parse_image_meta(payload: bytes) -> dict:
             i = 2
             while i + 9 <= n and payload[i] == 0xFF:
                 marker = payload[i + 1]
+                if marker == 0xFF:
+                    # 0xFF fill/padding bytes may precede a marker
+                    # (ITU T.81 B.1.1.2) — skip, don't read a bogus length
+                    i += 1
+                    continue
                 if marker in _JPEG_SOF:
                     h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
                     meta.update(width=w, height=h, codec="jpeg")
@@ -262,6 +267,72 @@ def sample_frames(
                     frames.append(b[j * fsize : (j + 1) * fsize])
             yield pd.DataFrame(
                 {id_col: ids, "frame_idx": idxs, "media": frames}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, out_schema)
+
+
+def resize_media(
+    df: DataFrame,
+    src_w: int,
+    src_h: int,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Codec-dispatching resize: raw interleaved-RGB payloads go through the
+    REAL nearest-neighbor kernel (see ``resize_raw_rgb``); compressed
+    container payloads (png/gif/bmp/jpeg/wav) get a NULL media plus an
+    explicit ``error`` column naming the codec — this container ships no
+    pixel decoder, and silence would read as success. Undersized raw
+    payloads error too ('raw payload too short')."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+    need = src_w * src_h * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ys = np.arange(target_h) * src_h // target_h
+        xs = np.arange(target_w) * src_w // target_w
+        for pdf in batches:
+            media, errors = [], []
+            for p in pdf[media_col]:
+                b = bytes(p) if p is not None else b""
+                codec = parse_image_meta(b)["codec"]
+                if codec != "raw":
+                    media.append(None)
+                    errors.append(
+                        f"unsupported codec '{codec}': no pixel decoder in "
+                        "this build"
+                    )
+                elif len(b) < need:
+                    media.append(None)
+                    errors.append(
+                        f"raw payload too short: {len(b)} < {need} bytes"
+                    )
+                else:
+                    img = np.frombuffer(b[:need], dtype=np.uint8).reshape(
+                        src_h, src_w, 3
+                    )
+                    media.append(img[ys][:, xs].tobytes())
+                    errors.append(None)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "media": media,
+                    "width": target_w,
+                    "height": target_h,
+                    "error": errors,
+                }
             )
 
     return df.select(id_col, media_col).mapInPandas(run, out_schema)

@@ -18,7 +18,8 @@ mirror the reference:
 - unknown route → 404 ``{"error":{"type":"NOT_FOUND",...}}``
   (middleware/error.ts:38-41)
 - ``GET /api/sessions`` — repo extension (the reference lists sessions via
-  CLI only); same JSON-list shape as ``ethos sessions``.
+  CLI only); paged ``{results, meta}`` (50/page, the viewer's page size,
+  ui/viewer.ts:81-120) so the driver never collects the full table.
 
 Request handling is driver-side: each call runs a small pushed-filter
 Spark query over the warehouse snapshot taken at construction. That is the
@@ -29,6 +30,7 @@ snapshots, never a writer.
 from __future__ import annotations
 
 import json
+import re
 import threading
 from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -40,7 +42,11 @@ from pyspark.sql import DataFrame, SparkSession
 from ethos_spark import schemas
 from ethos_spark.catalog import Warehouse
 from ethos_spark.functions.urlfns import is_hash_valid
-from ethos_spark.serve.queries import PublicationsQuery, publications
+from ethos_spark.serve.queries import (
+    PublicationsQuery,
+    publications,
+    sessions_page,
+)
 
 
 def _err(type_: str, message: str) -> dict:
@@ -64,14 +70,16 @@ def _pub_json(row) -> dict:
 
 def _int_param(params: dict, key: str) -> int | None:
     # parseQueryParams: non-numeric / non-positive values are IGNORED
-    # (fall back to defaults), pagination.ts:29-44
+    # (fall back to defaults), pagination.ts:29-44. The reference uses JS
+    # parseInt, which accepts a leading-digits prefix ('12abc' → 12) —
+    # mirror that rather than Python int()'s strictness.
     vals = params.get(key)
     if not vals:
         return None
-    try:
-        v = int(vals[0])
-    except ValueError:
+    m = re.match(r"\s*[+-]?\d+", vals[0])
+    if not m:
         return None
+    v = int(m.group())
     return v if v > 0 else None
 
 
@@ -109,20 +117,31 @@ class ApiApp:
         if path == "/api/sources":
             return 200, [{"id": s.id, "name": s.name} for s in self.sources]
         if path == "/api/sessions":
-            rows = self.sessions.orderBy(F.desc("start_time")).collect()
-            return 200, [
-                {
-                    "id": r["id"],
-                    "sourceId": r["source_id"],
-                    "sourceName": r["source_name"],
-                    "startTime": r["start_time"].isoformat()
-                    if r["start_time"]
-                    else None,
-                    "endTime": r["end_time"].isoformat() if r["end_time"] else None,
-                    "stoppedReason": r["stopped_reason"],
-                }
-                for r in rows
-            ]
+            # paged (50/page, viewer page size) — the driver never
+            # materializes the full sessions table
+            rows, meta = sessions_page(
+                self.sessions,
+                page=_int_param(params, "page") or 1,
+                limit=_int_param(params, "limit") or 50,
+            )
+            return 200, {
+                "results": [
+                    {
+                        "id": r["id"],
+                        "sourceId": r["source_id"],
+                        "sourceName": r["source_name"],
+                        "startTime": r["start_time"].isoformat()
+                        if r["start_time"]
+                        else None,
+                        "endTime": r["end_time"].isoformat()
+                        if r["end_time"]
+                        else None,
+                        "stoppedReason": r["stopped_reason"],
+                    }
+                    for r in rows.collect()
+                ],
+                "meta": meta,
+            }
         if path == "/api/publications":
             return self._publications(params)
         if path.startswith("/api/publications/"):

@@ -118,6 +118,29 @@ def sessions_list(sessions: DataFrame) -> DataFrame:
     return sessions.orderBy(F.desc("start_time"))
 
 
+def sessions_page(
+    sessions: DataFrame, page: int = 1, limit: int = 50
+) -> tuple[DataFrame, dict]:
+    """Paged sessions list (50/page, the reference viewer's page size,
+    ui/viewer.ts:81-120) — never materializes the full table on the
+    driver. Same (rows, meta) shape as ``publications``."""
+    total = sessions.count()
+    limit = clamp_limit(limit)
+    page = max(1, page)
+    rows = (
+        sessions.orderBy(F.desc("start_time"), F.desc("id"))
+        .offset((page - 1) * limit)
+        .limit(limit)
+    )
+    meta = {
+        "total": total,
+        "page": page,
+        "limit": limit,
+        "totalPages": math.ceil(total / limit) if total else 0,
+    }
+    return rows, meta
+
+
 def viewer_sort(pages: DataFrame) -> DataFrame:
     """O5: published date desc, nulls last as epoch 0
     (published-date-sorting.test.ts:34-41)."""

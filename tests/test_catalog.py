@@ -93,3 +93,38 @@ def test_row_tables_roundtrip(spark, tmp_path):
     # restore rewinds row tables with the rest of the snapshot
     wh2.restore("two")
     assert {r.id for r in wh2.read("sessions").collect()} == {"s1", "s2"}
+
+
+def test_legacy_parquet_folds_into_row_table(spark, tmp_path):
+    """A pre-row-table warehouse holds sessions as parquet dirs; the first
+    upsert_rows must fold those rows into the manifest row table instead of
+    shadowing them (ADVICE r2: catalog.py migration gap)."""
+    from datetime import datetime, timezone
+
+    from ethos_spark import schemas
+
+    wh = Warehouse(spark, str(tmp_path / "whl"))
+    t0 = datetime(2025, 7, 1, tzinfo=timezone.utc)
+    legacy = spark.createDataFrame(
+        [("old1", "x", "X", t0, t0, "{}", "max_pages")], schemas.SESSIONS
+    )
+    # simulate the legacy layout: sessions as a parquet append table
+    wh.append("sessions", legacy)
+    wh.commit("legacy")
+    wh2 = Warehouse(spark, wh.path)
+    # legacy rows visible through the fallthrough before any row write
+    assert [r.id for r in wh2.read("sessions").collect()] == ["old1"]
+    wh2.upsert_rows(
+        "sessions",
+        {
+            "id": "new1", "source_id": "y", "source_name": "Y",
+            "start_time": t0, "end_time": None,
+            "metadata": "{}", "stopped_reason": None,
+        },
+        key="id",
+    )
+    wh2.commit("migrated")
+    rows = {r.id: r for r in Warehouse(spark, wh.path).read("sessions").collect()}
+    assert set(rows) == {"old1", "new1"}  # history preserved
+    assert rows["old1"].stopped_reason == "max_pages"
+    assert rows["old1"].start_time is not None

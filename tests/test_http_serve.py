@@ -107,5 +107,13 @@ def test_unknown_route_and_sessions(served):
     assert status == 404 and body["error"]["type"] == "NOT_FOUND"
     status, body = _get(base + "/api/sessions")
     assert status == 200
-    assert [s["id"] for s in body] == [summary.session_id]
-    assert body[0]["stoppedReason"] == summary.stopped_reason
+    assert [s["id"] for s in body["results"]] == [summary.session_id]
+    assert body["results"][0]["stoppedReason"] == summary.stopped_reason
+    assert body["meta"]["total"] == 1 and body["meta"]["limit"] == 50
+    # paging: an offset past the data yields an empty page, same meta total
+    status, body = _get(base + "/api/sessions?page=2&limit=1")
+    assert status == 200 and body["results"] == []
+    assert body["meta"]["total"] == 1
+    # parseInt parity: trailing garbage on a numeric param is accepted
+    status, body = _get(base + "/api/sessions?limit=1abc")
+    assert status == 200 and body["meta"]["limit"] == 1

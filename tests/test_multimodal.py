@@ -47,6 +47,22 @@ def test_jpeg_sof_walk():
     assert (m2["width"], m2["height"], m2["codec"]) == (640, 480, "jpeg")
 
 
+def test_jpeg_fill_bytes_before_marker():
+    # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker;
+    # the walk must skip them, not read a bogus segment length
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(
+        ">HH", 480, 640
+    ) + b"\x03" + b"\x00" * 9
+    p = b"\xff\xd8" + b"\xff\xff\xff" + sof0[1:]  # padded SOF marker
+    m = parse_image_meta(p)
+    assert (m["width"], m["height"], m["codec"]) == (640, 480, "jpeg")
+    # padding before an intermediate segment too
+    dqt = b"\xff\xdb" + struct.pack(">H", 4) + b"\x00\x00"
+    p2 = b"\xff\xd8" + b"\xff" + dqt[1:] + b"\xff\xff" + sof0[1:]
+    m2 = parse_image_meta(p2)
+    assert (m2["width"], m2["height"], m2["codec"]) == (640, 480, "jpeg")
+
+
 def test_raw_fallback_and_truncation():
     payload = b"not an image at all"
     n = len(payload)
@@ -109,3 +125,35 @@ def test_resize_and_frame_sampling_spark():
         (r.frame_idx, bytes(r.media)[0]) for r in sample_frames(vdf, 2, 2, 2).collect()
     )
     assert rows == [(0, 0), (2, 2), (4, 4)]
+
+
+def test_resize_media_codec_error_routing():
+    """Compressed payloads through the resize path produce an explicit
+    error row, never a silent stub passthrough (VERDICT r2 item 8)."""
+    import numpy as np
+
+    from ethos_spark.ops.multimodal import resize_media
+    from ethos_spark.session import get_spark
+
+    spark = get_spark("test-mm", master="local[2]", shuffle_partitions=2)
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    # a JPEG-compressed payload (SOI + SOF), a PNG, a valid raw, a short raw
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 4, 4) + b"\x03" + b"\x00" * 9
+    )
+    jpeg = b"\xff\xd8" + sof0 + b"\x00" * 64
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray(jpeg)),
+            (2, bytearray(synth_png(4, 4) + b"\x00" * 64)),
+            (3, bytearray(img.tobytes())),
+            (4, bytearray(b"xy")),
+        ],
+        "doc_id long, media binary",
+    )
+    out = {r.doc_id: r for r in resize_media(rows, 4, 4, 2, 2).collect()}
+    assert out[1].media is None and "jpeg" in out[1].error
+    assert out[2].media is None and "png" in out[2].error
+    assert out[3].error is None and len(bytes(out[3].media)) == 2 * 2 * 3
+    assert out[4].media is None and "too short" in out[4].error

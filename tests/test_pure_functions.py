@@ -154,3 +154,34 @@ def test_dup_cluster_summary_semantics():
         for r in cluster_summary(dup_clusters(pairs)).collect()
     }
     assert summ == {1: (1, 4), 5: (5, 2), 10: (10, 2)}
+
+
+def test_dup_clusters_long_chain_pointer_doubling():
+    """A 40-edge path graph has diameter 40 — plain min-label propagation
+    needs ~40 rounds; pointer doubling converges in O(log d). max_iter=8
+    would silently mislabel without doubling (ADVICE r2)."""
+    from ethos_spark.ops.dedup import dup_clusters
+    from ethos_spark.session import get_spark
+
+    spark = get_spark("test-cc", master="local[2]", shuffle_partitions=2)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    cl = {r.doc_id: r.cluster_id for r in dup_clusters(pairs, max_iter=8).collect()}
+    assert cl == {i: 0 for i in range(41)}
+
+
+def test_dup_clusters_nonconvergence_raises():
+    """max_iter too small for the diameter -> RuntimeError, never a silent
+    wrong answer."""
+    import pytest
+
+    from ethos_spark.ops.dedup import dup_clusters
+    from ethos_spark.session import get_spark
+
+    spark = get_spark("test-cc", master="local[2]", shuffle_partitions=2)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iter=1).count()
