@@ -116,21 +116,40 @@ class CorpusFetcher:
 
 
 class HttpFetcher:
-    """Real-network fetcher skeleton (NOT usable in this sandbox: no network,
-    no HTTP client beyond stdlib). Kept to pin the production shape: an
-    Arrow-batched ``mapInPandas`` over host-partitioned candidates, one
-    session per host per partition, politeness delay between requests."""
+    """Real-network fetcher: an Arrow-batched ``mapInPandas`` over
+    host-partitioned candidates, stdlib ``urllib`` per request, politeness
+    delay between requests to the same host (one host's URLs land in one
+    task, so the in-task sleep IS the per-host serialization guarantee).
+
+    ``gateway``: optional fetch-gateway base URL — when set, each request
+    goes to ``gateway + urlquote(url)`` while the row keeps its original
+    ``url``. This is the standard smart-proxy / WARC-gateway shape (the
+    fetch service resolves the real URL); it is also what lets the full
+    production path run against a loopback HTTP server in tests
+    (tests/test_http_fetcher_e2e.py — the sandbox analogue of the
+    reference's live integration suites,
+    src/tests/integration/torrent_freak-integration.test.ts:76-79).
+
+    Non-2xx responses and transport errors both yield html=NULL
+    (returns_misses contract); the crawl loop's in-round retry waves
+    re-fetch NULLs up to max_fetch_attempts (deterministic=False)."""
 
     host_partitioned = True  # batches arrive grouped by host (politeness)
     returns_misses = True  # every candidate row comes back (html NULL on fail)
     deterministic = False  # network failures are transient → retry
 
-    def __init__(self, timeout_sec: float = 60.0, delay_sec: float = 1.0):
+    def __init__(
+        self,
+        timeout_sec: float = 60.0,
+        delay_sec: float = 1.0,
+        gateway: str | None = None,
+    ):
         self.timeout_sec = timeout_sec
         self.delay_sec = delay_sec
+        self.gateway = gateway
 
     def fetch(self, candidates: DataFrame, size_hint: int | None = None) -> DataFrame:
-        timeout, delay = self.timeout_sec, self.delay_sec
+        timeout, delay, gateway = self.timeout_sec, self.delay_sec, self.gateway
         # enforce the host_partitioned contract: hash-partition on host so
         # one host's URLs land in one task and the per-request delay
         # actually serializes requests to that host (politeness guarantee
@@ -140,14 +159,20 @@ class HttpFetcher:
             candidates = candidates.repartition(F.col("host"))
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import urllib.parse
             import urllib.request
 
             for pdf in batches:
                 htmls, times = [], []
                 for url in pdf["url"]:
+                    req_url = (
+                        gateway + urllib.parse.quote(url, safe="")
+                        if gateway
+                        else url
+                    )
                     t0 = time.monotonic()
                     try:
-                        with urllib.request.urlopen(url, timeout=timeout) as r:
+                        with urllib.request.urlopen(req_url, timeout=timeout) as r:
                             htmls.append(r.read())
                     except Exception:
                         htmls.append(None)
