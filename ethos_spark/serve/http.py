@@ -15,7 +15,14 @@ mirror the reference:
   NOT_FOUND which the reference errorHandler serves as **400** with
   ``{"error": {"type", "message"}}`` — middleware/error.ts:19-35; mirrored
   verbatim, quirk included)
-- unknown route → 404 ``{"error":{"type":"NOT_FOUND",...}}``
+- ``GET /``                              → HTML listing view
+  (routes/listing-handler.ts:68-92, views/listing.ts: 250-char stripped
+  preview + "...", source select nav, pagination links)
+- ``GET /<hash>``                        → HTML detail view
+  (routes/detail-handler.ts:21-47, views/detail.ts: marked-rendered
+  content, back link propagating page/source; invalid hash → empty 404,
+  missing metadata/content → the 400 ApiError quirk)
+- unknown multi-segment route → 404 ``{"error":{"type":"NOT_FOUND",...}}``
   (middleware/error.ts:38-41)
 - ``GET /api/sessions`` — repo extension (the reference lists sessions via
   CLI only); paged ``{results, meta}`` (50/page, the viewer's page size,
@@ -41,12 +48,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ethos_spark import schemas
 from ethos_spark.catalog import Warehouse
+from ethos_spark.functions.mdrender import markdown_to_html
 from ethos_spark.functions.urlfns import is_hash_valid
 from ethos_spark.serve.queries import (
     PublicationsQuery,
     publications,
     sessions_page,
 )
+from ethos_spark.serve.views import preview_250, render_detail, render_listing
+
+
+class Html(str):
+    """Marker type: the body is a rendered HTML page (text/html), not JSON."""
 
 
 def _err(type_: str, message: str) -> dict:
@@ -146,6 +159,13 @@ class ApiApp:
             return self._publications(params)
         if path.startswith("/api/publications/"):
             return self._publication_by_hash(path.split("/", 3)[3])
+        # HTML web views, wired AFTER the api routes like the reference
+        # (index.ts:38-39): "/" = listing, any other single segment is
+        # treated as "/:hash" (so even /api alone hits the hash validator)
+        if path == "/":
+            return self._listing_view(params)
+        if re.fullmatch(r"/[^/]+", path):
+            return self._detail_view(path[1:], params)
         return 404, _err("NOT_FOUND", f"Route {path} not found")
 
     def _publications(self, params: dict) -> tuple[int, object]:
@@ -169,6 +189,73 @@ class ApiApp:
             return 400, _err("NOT_FOUND", "Metadata not found")
         return 200, _pub_json(rows[0])
 
+    # -- HTML web views (listing-handler.ts / detail-handler.ts) ------------
+
+    def _source_names(self) -> dict:
+        return {s.id: s.name for s in self.sources}
+
+    def _listing_view(self, params: dict) -> tuple[int, object]:
+        try:
+            q = PublicationsQuery(
+                source=(params.get("source") or [None])[0],
+                start_published=(params.get("startPublishedDate") or [None])[0],
+                end_published=(params.get("endPublishedDate") or [None])[0],
+                order_by="published_date",
+                page=_int_param(params, "page") or 1,
+                limit=_int_param(params, "limit") or 10,
+            )
+            rows, meta = publications(self.pages, q)
+            names = self._source_names()
+            pubs = [
+                {
+                    "hash": r["hash"],
+                    "title": r["title"],
+                    "author": r["author"],
+                    "source": names.get(r["source"], "Undefined"),
+                    "publishedDate": r["published_date"],
+                    "content": preview_250(r["content"]),
+                }
+                for r in rows.collect()
+                # rows whose content never stored are dropped from the view
+                # but still counted in the pagination total (the reference
+                # filters null contentStore.retrieve results AFTER counting,
+                # listing-handler.ts:59-80)
+                if r["content"] is not None
+            ]
+            return 200, Html(render_listing(pubs, meta, self.sources, q.source))
+        except Exception as e:
+            # listing-handler.ts:95-103: wrapped as ApiError(INTERNAL_ERROR)
+            # which the errorHandler serves as 400 (quirk mirrored)
+            return 400, _err("INTERNAL_ERROR", str(e))
+
+    def _detail_view(self, h: str, params: dict) -> tuple[int, object | None]:
+        if not is_hash_valid(h):
+            return 404, None  # detail-handler.ts:23-26, empty body
+        rows = self.pages.where(F.col("hash") == h).limit(1).collect()
+        if not rows:
+            return 400, _err("NOT_FOUND", "Metadata not found")
+        r = rows[0]
+        content = markdown_to_html(r["content"]) if r["content"] else ""
+        if not content:
+            # detail-handler.ts:33-36
+            return 400, _err("NOT_FOUND", "Content not found")
+        names = self._source_names()
+        pub = {
+            "url": r["url"],
+            "title": r["title"],
+            "author": r["author"],
+            "source": names.get(r["source"], "Undefined"),
+            "publishedDate": r["published_date"],
+            "content": content,
+        }
+        return 200, Html(
+            render_detail(
+                pub,
+                _int_param(params, "page"),
+                (params.get("source") or [None])[0],
+            )
+        )
+
 
 def make_server(app: ApiApp, host: str = "127.0.0.1", port: int = 0):
     """Build (not start) a ThreadingHTTPServer around the app. port=0 binds
@@ -181,9 +268,13 @@ def make_server(app: ApiApp, host: str = "127.0.0.1", port: int = 0):
                 status, body = app.handle(u.path, parse_qs(u.query))
             except Exception as e:  # errorHandler catch-all, error.ts:33-35
                 status, body = 500, _err("INTERNAL_ERROR", str(e))
-            payload = b"" if body is None else json.dumps(body).encode("utf-8")
+            if isinstance(body, Html):
+                payload, ctype = body.encode("utf-8"), "text/html; charset=utf-8"
+            else:
+                payload = b"" if body is None else json.dumps(body).encode("utf-8")
+                ctype = "application/json"
             self.send_response(status)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(payload)))
             self.end_headers()
             self.wfile.write(payload)
