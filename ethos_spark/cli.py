@@ -38,6 +38,12 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("sessions")
     s.add_argument("--warehouse", required=True)
 
+    e = sub.add_parser("errors")  # reference `errors` (commands/errors.ts)
+    e.add_argument("--warehouse", required=True)
+    e.add_argument(
+        "--session", default=None, help="session id (default: latest)"
+    )
+
     q = sub.add_parser("publications")
     q.add_argument("--warehouse", required=True)
     q.add_argument("--source", default=None)
@@ -101,6 +107,30 @@ def main(argv: list[str] | None = None) -> int:
 
         for row in sessions_list(wh.read("sessions", schemas.SESSIONS)).collect():
             print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+    elif args.cmd == "errors":
+        from datetime import datetime, timezone
+
+        from ethos_spark import schemas
+        from ethos_spark.serve.errors_report import render_errors_report
+        from ethos_spark.serve.queries import sessions_list
+
+        sessions = wh.read("sessions", schemas.SESSIONS)
+        if args.session:
+            rows = sessions.where(
+                sessions["id"] == args.session
+            ).collect()
+        else:
+            rows = sessions_list(sessions).limit(1).collect()
+        if not rows:
+            print("no sessions found", file=sys.stderr)
+            spark.stop()
+            return 2
+        fs = wh.read("field_stats", schemas.FIELD_STATS)
+        print(
+            render_errors_report(
+                rows[0], fs, datetime.now(timezone.utc).isoformat()
+            )
+        )
     elif args.cmd == "publications":
         from ethos_spark.serve.queries import PublicationsQuery, publications
 

@@ -37,6 +37,10 @@ from ethos_spark.extraction.content import extract_content_stage
 from ethos_spark.extraction.listing import extract_listing_stage
 from ethos_spark.sources.config import SourceConfig
 
+# cap per error-message category per session: the lists live in the session
+# row (manifest metadata) and must stay metadata-sized at any corpus scale
+MAX_ERROR_MESSAGES = 100
+
 
 @dataclass
 class CrawlOptions:
@@ -84,6 +88,11 @@ class CrawlSummary:
     stopped_reason: str = ""
     host_stops: dict[str, int] = field(default_factory=dict)  # reason → host count
     wall_sec: float = 0.0
+    # bounded error MESSAGE lists (reference CrawlMetadata.listingErrors /
+    # contentErrors, core/types.ts:165-166); first MAX_ERROR_MESSAGES per
+    # category, rendered by `ethos errors` (commands/errors.ts:8-120)
+    listing_error_messages: list[str] = field(default_factory=list)
+    content_error_messages: list[str] = field(default_factory=list)
 
     @property
     def items_found(self) -> int:
@@ -425,6 +434,7 @@ class CrawlRunner:
                 F.size("items").alias("n_items"),
                 F.size("excluded_urls").alias("n_excluded"),
                 F.col("filtered_count").alias("n_filtered"),
+                F.col("filtered_reasons"),
                 F.col("next_url"),
             )
             .groupBy("host")
@@ -433,6 +443,13 @@ class CrawlRunner:
                 F.sum("n_items").alias("n_items"),
                 F.sum("n_excluded").alias("n_excluded"),
                 F.sum("n_filtered").alias("n_filtered"),
+                # bounded listing-error messages (CrawlErrorManager
+                # addListingErrors ← addFilteredItems reasons)
+                F.slice(
+                    F.flatten(F.collect_list("filtered_reasons")),
+                    1,
+                    MAX_ERROR_MESSAGES,
+                ).alias("reasons"),
                 F.max("next_url").alias("next_url"),
             )
         )
@@ -442,7 +459,29 @@ class CrawlRunner:
         date_err_per_host = (
             items.where(F.col("date_error"))
             .groupBy(F.col("listing_host").alias("host"))
-            .agg(F.count("*").alias("n_date_err"))
+            .agg(
+                F.count("*").alias("n_date_err"),
+                # quarantine messages mirror the reference throw text
+                # (ListingPageExtractor.ts:313-323 + utils/date.ts:44-47)
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(
+                            F.concat(
+                                F.lit('Date parsing failed for item "'),
+                                F.coalesce("title", "url"),
+                                F.lit('": Unable to parse date format: "'),
+                                F.col("published_raw"),
+                                F.lit(
+                                    '". Source format may have changed and '
+                                    "requires code update."
+                                ),
+                            )
+                        )
+                    ),
+                    1,
+                    MAX_ERROR_MESSAGES,
+                ).alias("date_err_msgs"),
+            )
         )
         # per-host round state stays DISTRIBUTED (at 10^10 scale millions of
         # hosts are active per round — never collected); the driver sees one
@@ -487,6 +526,16 @@ class CrawlRunner:
             F.sum(
                 F.col("stop_reason").eqNullSafe("no_next_button").cast("long")
             ).alias("stop_no_next"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("reasons"))),
+                1,
+                MAX_ERROR_MESSAGES,
+            ).alias("listing_msgs"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("date_err_msgs"))),
+                1,
+                MAX_ERROR_MESSAGES,
+            ).alias("date_msgs"),
         ).collect()[0]
         tick("listing+dedup stats collect")
 
@@ -502,6 +551,18 @@ class CrawlRunner:
         # retry-exhausted listing pages are listing errors (reference
         # CrawlErrorManager.addListingErrors) alongside date quarantines
         self.summary.listing_errors += n_date_err + n_failed_pages
+        # bounded listing error MESSAGE list (filtered reasons + date
+        # quarantines + exhausted listing fetches), first-N per session
+        room = MAX_ERROR_MESSAGES - len(self.summary.listing_error_messages)
+        if room > 0:
+            msgs = list(g["listing_msgs"] or []) + list(g["date_msgs"] or [])
+            if n_failed_pages:
+                msgs += [
+                    f"Failed to load listing page after "
+                    f"{opt.max_fetch_attempts} attempts: {row.url}"
+                    for row in _listing_misses(lres).limit(room).collect()
+                ]
+            self.summary.listing_error_messages.extend(msgs[:room])
         n_page_items = int(g["n_items"] or 0)
         n_new_total = int(g["n_new"] or 0)
         # date-quarantined items are listing errors, NOT duplicates — they
@@ -651,6 +712,7 @@ class CrawlRunner:
                 "fetch_ms",
                 "parse_ms",
                 "failed_fields",
+                "extraction_errors",
             ).select(*schemas.PAGES_OUT.names)
         tick("assign order (pre-fetch keys)")
 
@@ -744,6 +806,18 @@ class CrawlRunner:
                         if content_field_names
                         else F.lit(None).cast("array<string>")
                     ).alias("failed_fields"),
+                    # reference catch-path message shape,
+                    # ContentPageExtractor.ts:180-186
+                    F.array(
+                        F.concat(
+                            F.lit("Failed to extract content data for "),
+                            F.col("url"),
+                            F.lit(
+                                f" : fetch failed after "
+                                f"{opt.max_fetch_attempts} attempts"
+                            ),
+                        )
+                    ).alias("extraction_errors"),
                 )
             )
             missed_out = missed.select(*schemas.PAGES_OUT.names)
@@ -1054,12 +1128,48 @@ class CrawlRunner:
             key="id",
         )
 
+    def _collect_content_errors(self) -> None:
+        """Derive the session's bounded contentErrors list (reference
+        core/types.ts:166, message format ContentPageExtractor.ts:176-179)
+        from STORAGE: one column-pruned scan of this session's pages rows
+        (crawled_at == session start) at finalize — write-once-derive-from-
+        storage, zero per-round jobs."""
+        if not self.summary.items_with_errors:
+            return
+        try:
+            pages = self.wh.read("pages", schemas.PAGES_OUT)
+        except KeyError:
+            return
+        if "extraction_errors" not in pages.columns:
+            return  # legacy warehouse written before the column existed
+        rows = (
+            pages.where(
+                (F.col("crawled_at") == F.lit(self.start_time))
+                & F.col("had_extraction_error")
+            )
+            .select(
+                F.concat(
+                    F.lit("Content extraction failed for "),
+                    F.col("url"),
+                    F.lit(" : "),
+                    F.coalesce(
+                        F.array_join("extraction_errors", ", "), F.lit("")
+                    ),
+                ).alias("m")
+            )
+            .sort("m")
+            .limit(MAX_ERROR_MESSAGES)
+            .collect()
+        )
+        self.summary.content_error_messages = [r.m for r in rows]
+
     def _finalize(self) -> None:
         self.summary.stopped_reason = (
             "process_interrupted"  # StoppedReason.PROCESS_INTERRUPTED
             if self._interrupted
             else self._session_stop_reason()
         )
+        self._collect_content_errors()
         self._write_session_row(ended=True)
         self.wh.set_prop("summary", self.summary.to_json())
         self.wh.commit("final")

@@ -78,9 +78,12 @@ def extract_listing_items(html: str, config: ListingConfig, page_url: str) -> di
                 st[2].append(idx + 1)
 
         if missing_required:
+            # reference reason format, ListingPageExtractor.ts:254-260
+            ident = values.get("url") or values.get("title") or "Unknown item"
             filtered_reasons.append(
-                f"item {idx}: missing required fields: "
-                + ", ".join(sorted(missing_required))
+                f'Item "{ident}" missing required fields: '
+                + ", ".join(missing_required)
+                + f". Seen at {page_url}"
             )
             continue
 
@@ -122,7 +125,8 @@ def extract_listing_items(html: str, config: ListingConfig, page_url: str) -> di
 LISTING_RESULT_DDL = (
     "url string, listing_url string, items array<struct<url:string,"
     "title:string,author:string,published_raw:string,item_index:int>>, "
-    "excluded_urls array<string>, filtered_count int, next_url string, "
+    "excluded_urls array<string>, filtered_count int, "
+    "filtered_reasons array<string>, next_url string, "
     "field_stats array<struct<field:string,success:int,attempts:int,"
     "missing:array<int>>>"
 )
@@ -136,7 +140,7 @@ def extract_listing_stage(df, config: ListingConfig):
             out = []
             for url, html in zip(pdf["url"], pdf["html"]):
                 if html is None:
-                    out.append((url, url, [], [], 0, None, []))
+                    out.append((url, url, [], [], 0, [], None, []))
                     continue
                 r = extract_listing_items(
                     bytes(html).decode("utf-8", "replace"), config, url
@@ -157,6 +161,7 @@ def extract_listing_stage(df, config: ListingConfig):
                         ],
                         r["excluded_urls"],
                         r["filtered_count"],
+                        r["filtered_reasons"],
                         r["next_url"],
                         [
                             (s["field"], s["success"], s["attempts"], s["missing"])
@@ -172,6 +177,7 @@ def extract_listing_stage(df, config: ListingConfig):
                     "items",
                     "excluded_urls",
                     "filtered_count",
+                    "filtered_reasons",
                     "next_url",
                     "field_stats",
                 ],

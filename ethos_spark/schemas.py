@@ -81,6 +81,10 @@ PAGES_OUT = StructType(
         # per-item failed content fields (reference metadata.contentFieldsFailed,
         # ContentDataMapper.ts:58-75)
         StructField("failed_fields", ArrayType(StringType())),
+        # per-item extraction error MESSAGES (reference updateItemMetadata
+        # errors param; the session's contentErrors list derives from these
+        # at finalize — core/types.ts:166, ContentPageExtractor.ts:176-187)
+        StructField("extraction_errors", ArrayType(StringType())),
     ]
 )
 
