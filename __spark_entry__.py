@@ -389,6 +389,27 @@ def langid_predict(spark, sf):
     ).orderBy("doc_id")
 
 
+def langid_ct(spark, sf):
+    """Cavnar–Trenkle char-n-gram language ID (the REAL classifier,
+    ops/langid.py) over 10 held-out multilingual paragraphs disjoint from
+    its training snippets. The oracle pins the expected labels — an
+    actual accuracy gate: any misclassification hash-mismatches."""
+    from ethos_spark.ops.langid import HELD_OUT_SAMPLES, predict_lang_ct
+
+    rows = [
+        (i, lang, text)
+        for i, (lang, text) in enumerate(sorted(HELD_OUT_SAMPLES.items()))
+    ]
+    df = spark.createDataFrame(
+        rows, "sample_id int, lang_true string, text string"
+    )
+    return (
+        predict_lang_ct(df)
+        .select("sample_id", "lang_true", "lang_ct")
+        .orderBy("sample_id")
+    )
+
+
 def quality_score(spark, sf):
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
     return ts.quality_features(d).select(
@@ -484,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_recall": similarity_ivf_recall,
         "embedding_near_dup": embedding_near_dup,
         "langid_predict": langid_predict,
+        "langid_ct": langid_ct,
         "quality_score": quality_score,
         "token_counts": token_counts,
         "streaming_windowed_events": streaming_windowed_events,
@@ -753,6 +775,19 @@ FROM reach GROUP BY src ORDER BY doc_id
               FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
               WHERE q.vec_id < 5
             ) WHERE rank <= 5 ORDER BY q_id, rank
+        """,
+        "langid_ct": """
+            -- expected-label oracle for the Cavnar-Trenkle classifier:
+            -- sample_id order is alphabetical by true language; any
+            -- misprediction on the held-out paragraphs hash-mismatches
+            SELECT * FROM (VALUES
+                (0::int, 'da', 'da'), (1::int, 'de', 'de'),
+                (2::int, 'en', 'en'), (3::int, 'es', 'es'),
+                (4::int, 'fr', 'fr'), (5::int, 'it', 'it'),
+                (6::int, 'nl', 'nl'), (7::int, 'pl', 'pl'),
+                (8::int, 'pt', 'pt'), (9::int, 'sv', 'sv')
+            ) AS t(sample_id, lang_true, lang_ct)
+            ORDER BY sample_id
         """,
         "langid_predict": """
             WITH n AS (

@@ -185,3 +185,37 @@ def test_dup_clusters_nonconvergence_raises():
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dup_clusters(pairs, max_iter=1).count()
+
+
+def test_cavnar_trenkle_langid():
+    """The real classifier (ops/langid.py): correct labels on all held-out
+    paragraphs, and on non-stopword-bearing text where the 3-language
+    stopword voter fails (VERDICT r2 item 5)."""
+    from ethos_spark.ops.langid import HELD_OUT_SAMPLES, classify
+
+    for lang, text in HELD_OUT_SAMPLES.items():
+        assert classify(text) == lang, lang
+    # the stopword voter's blind spot: German/Spanish text containing NO
+    # en/sv/fr stopwords — predict_lang can only ever answer en/sv/fr
+    assert classify(
+        "Geschwindigkeitsbegrenzung überschritten, Führerschein entzogen, "
+        "Bußgeldbescheid zugestellt."
+    ) == "de"
+    assert classify(
+        "Ayuntamiento anunció construcción: añadirán carreteras pequeñas "
+        "y ensancharán caminos municipales."
+    ) == "es"
+    assert classify(None) is None and classify("") is None
+    assert classify("12345 67890 !!!") is None
+
+
+def test_cavnar_trenkle_spark_udf():
+    """Arrow-batched UDF path returns the same labels as the pure kernel."""
+    from ethos_spark.ops.langid import HELD_OUT_SAMPLES, predict_lang_ct
+    from ethos_spark.session import get_spark
+
+    spark = get_spark("test-ct", master="local[2]", shuffle_partitions=2)
+    rows = [(l, t) for l, t in sorted(HELD_OUT_SAMPLES.items())]
+    df = spark.createDataFrame(rows, "lang_true string, text string")
+    out = predict_lang_ct(df).collect()
+    assert all(r.lang_ct == r.lang_true for r in out)
