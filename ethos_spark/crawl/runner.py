@@ -851,10 +851,12 @@ class CrawlRunner:
         # per-page struct arrays lres carries (ListingPageExtractor.ts:
         # 299-309). Missing index = currentItemOffset + local container
         # index, where currentItemOffset is metadata.itemsProcessed at
-        # page-extraction time (ArticleListingCrawler.ts:50-55) — in this
-        # engine the round-start order_offset, which matches the reference
-        # EXACTLY for its own one-source-per-session model (multi-host
-        # rounds share the one global counter; documented extension).
+        # page-extraction time (ArticleListingCrawler.ts:50-55) — the
+        # PER-CHAIN cumulative stored count: each host (= one reference
+        # source chain) carries its own offset from the host_offsets
+        # table, reference-exact even when many chains crawl in one
+        # session (round-2 VERDICT item 6; the old global order_offset
+        # leaked other chains' counts into the indices).
         lfields = self.config.listing.fields
         opt_map = F.create_map(
             *[
@@ -863,17 +865,31 @@ class CrawlRunner:
                 for c in (F.lit(name), F.lit(bool(fc.optional)))
             ]
         )
+        # snapshot of per-host offsets BEFORE this round's counts land
+        # (read resolved now; the replace below writes a fresh dir)
+        prev_offsets = self.wh.read("host_offsets", schemas.HOST_OFFSETS)
         lfs_df = (
-            lres.select(F.explode("field_stats").alias("s"))
-            .groupBy(F.col("s.field").alias("field_name"))
+            lres.select("host", F.explode("field_stats").alias("s"))
+            .join(prev_offsets, "host", "left")
+            .withColumn("_off", F.coalesce("items_cum", F.lit(0)))
+            .select(
+                F.col("s.field").alias("field_name"),
+                F.col("s.success").alias("success"),
+                F.col("s.attempts").alias("attempts"),
+                F.transform(
+                    F.col("s.missing"),
+                    lambda x: (x + F.col("_off")).cast("long"),
+                ).alias("missing_g"),
+            )
+            .groupBy("field_name")
             .agg(
-                F.sum("s.success").alias("success_count"),
-                F.sum("s.attempts").alias("total_attempts"),
+                F.sum("success").alias("success_count"),
+                F.sum("attempts").alias("total_attempts"),
                 F.slice(
-                    F.sort_array(F.flatten(F.collect_list("s.missing"))),
+                    F.sort_array(F.flatten(F.collect_list("missing_g"))),
                     1,
                     10_000,
-                ).alias("missing_local"),
+                ).alias("missing_items"),
             )
             .select(
                 F.lit(self.session_id).alias("session_id"),
@@ -885,9 +901,7 @@ class CrawlRunner:
                 F.coalesce(opt_map[F.col("field_name")], F.lit(False)).alias(
                     "is_optional"
                 ),
-                F.transform(
-                    "missing_local", lambda x: (x + F.lit(offset)).cast("long")
-                ).alias("missing_items"),
+                "missing_items",
             )
             .select(*schemas.FIELD_STATS.names)
         )
@@ -1052,6 +1066,20 @@ class CrawlRunner:
             futs += [
                 ex.submit(self.wh.append, t, df) for t, df in _stored_jobs(stored)
             ]
+            # roll the per-chain itemsProcessed counters forward (the
+            # listing-offset table read above this round's writes)
+            new_offsets = (
+                prev_offsets.unionByName(
+                    stored.groupBy("host").agg(
+                        F.count("*").alias("items_cum")
+                    )
+                )
+                .groupBy("host")
+                .agg(F.sum("items_cum").alias("items_cum"))
+            )
+            futs.append(
+                ex.submit(self.wh.replace, "host_offsets", new_offsets)
+            )
             fut_frontier.result()
             for f in futs:
                 f.result()

@@ -145,6 +145,17 @@ FIELD_STATS = StructType(
     ]
 )
 
+# per-host cumulative stored-item counts (the reference's per-source
+# itemsProcessed, ArticleListingCrawler.ts:50-55) — drives the listing
+# field-stats missing-item offsets; replaced each round, host-keyed and
+# fully distributed (never a driver map)
+HOST_OFFSETS = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("items_cum", LongType()),
+    ]
+)
+
 # intermediate: one extracted listing item (pre-validation)
 LISTING_ITEM = StructType(
     [

@@ -519,3 +519,76 @@ def test_listing_field_stats(spark, tmp_path):
     assert (
         wh.read("field_stats").where(F.col("stage") == "content").count() > 0
     )
+
+
+def test_per_chain_listing_offsets_two_hosts(spark, tmp_path):
+    """Reference itemsProcessed offset semantics per CHAIN
+    (ArticleListingCrawler.ts:50-55): in a session crawling two chains,
+    each host's listing missing-item indices continue from ITS OWN stored
+    count, not the session-global counter (round-2 VERDICT item 6)."""
+
+    def item(url_path, title, with_url=True):
+        link = f'<a class="post-link" href="{url_path}">read</a>' if with_url else ""
+        return (
+            f'<div class="post-item"><span class="post-title">{title}</span>'
+            f'{link}<span class="post-date">2025-03-01</span></div>'
+        )
+
+    def listing(items_html, next_page=None):
+        nxt = (
+            f'<div class="pagination"><a class="next" href="{next_page}">next</a></div>'
+            if next_page
+            else ""
+        )
+        return (
+            '<html><body><div class="post-list">'
+            + "".join(items_html)
+            + f"</div>{nxt}</body></html>"
+        ).encode()
+
+    art = (
+        "<html><body><div id='main'><header><h1>T</h1></header>"
+        "<div class='article-body'><p>Body.</p></div></div></body></html>"
+    ).encode()
+
+    a, b = "a.example.org", "b.example.org"
+    rows = [
+        # host A: page1 stores 3 items; page2 misses url at local idx 1
+        (f"https://{a}/list/1", listing(
+            [item("/p/a0", "A0"), item("/p/a1", "A1"), item("/p/a2", "A2")],
+            "/list/2",
+        )),
+        (f"https://{a}/list/2", listing(
+            [item("/p/a3", "A3"), item(None, "A4", with_url=False)]
+        )),
+        # host B: page1 stores 1 item; page2 misses url at local idx 0
+        (f"https://{b}/list/1", listing([item("/p/b0", "B0")], "/list/2")),
+        (f"https://{b}/list/2", listing(
+            [item(None, "B1", with_url=False), item("/p/b2", "B2")]
+        )),
+    ] + [
+        (f"https://{h}/p/{n}", art)
+        for h, names in ((a, ["a0", "a1", "a2", "a3"]), (b, ["b0", "b2"]))
+        for n in names
+    ]
+    corpus = spark.createDataFrame(rows, "url string, html binary")
+    wh = Warehouse(spark, str(tmp_path / "wh_offsets"))
+    runner = CrawlRunner(
+        spark, wh, CorpusFetcher(corpus), SYNTH_SOURCE, CrawlOptions()
+    )
+    runner.seed([f"https://{a}/list/1", f"https://{b}/list/1"])
+    runner.run()
+
+    r2 = {
+        r.field_name: r
+        for r in wh.read("field_stats")
+        .where((F.col("stage") == "listing") & (F.col("round") == 2))
+        .collect()
+    }
+    # host A's miss: offset 3 (its own page-1 stored) + local idx 2 -> 5
+    # host B's miss: offset 1 + local idx 1 -> 2
+    # (the old session-global offset 4 would have yielded [5, 6])
+    assert sorted(r2["url"].missing_items) == [2, 5]
+    # per-host cumulative counters persisted and correct after the run
+    offs = {r.host: r.items_cum for r in wh.read("host_offsets").collect()}
+    assert offs == {a: 4, b: 2}
