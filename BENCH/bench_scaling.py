@@ -49,8 +49,12 @@ from ethos_spark.synth import listing_url
 
 cores = int(sys.argv[1]); corpus_path = sys.argv[2]
 n_hosts = int(sys.argv[3]); rounds = int(sys.argv[4])
+bucketed = bool(os.environ.get("ETHOS_SCALING_BUCKETED"))
+extra = {}
+if bucketed:
+    extra["spark.sql.warehouse.dir"] = tempfile.mkdtemp(prefix=f"scalcat{cores}-")
 spark = get_spark(f"scaling-{cores}", master=f"local[{cores}]",
-                  shuffle_partitions=cores)
+                  shuffle_partitions=cores, extra_conf=extra)
 corpus = spark.read.parquet(corpus_path)
 # warm the OS page cache + JVM before timing: a parquet count() reads only
 # footers/stats, so force a full scan of the data columns — both children
@@ -68,7 +72,18 @@ def _warm(it):
         yield pdf
 spark.range(cores * 4, numPartitions=cores).mapInPandas(_warm, "id long").count()
 wh = Warehouse(spark, tempfile.mkdtemp(prefix=f"scal{cores}-") + "/wh")
-runner = CrawlRunner(spark, wh, CorpusFetcher(corpus), SYNTH_SOURCE,
+if bucketed:
+    # ETHOS_SCALING_BUCKETED: the 100 TB layout — corpus re-written once as
+    # a bucketed table (untimed: ingest-time layout, not per-crawl work) and
+    # the fetch join runs the zero-exchange bucketed tier instead of the
+    # broadcast tier (broadcast_candidates=False forces past the gate).
+    fetcher = CorpusFetcher.register_bucketed_corpus(
+        corpus, "scal_corpus_b",
+        tempfile.mkdtemp(prefix=f"scalb{cores}-") + "/corpus_b",
+        n_buckets=32, broadcast_candidates=False)
+else:
+    fetcher = CorpusFetcher(corpus)
+runner = CrawlRunner(spark, wh, fetcher, SYNTH_SOURCE,
                      CrawlOptions(max_pages=rounds))
 runner.seed([listing_url(h, 1) for h in range(n_hosts)])
 t0 = time.monotonic()
@@ -144,17 +159,20 @@ def main() -> None:
 
 def _finish(r_low: dict, r_high: dict, n_hosts: int, articles: int, rounds: int) -> None:
     eff = round((r_high["urls_per_sec"] / r_low["urls_per_sec"]) / (N_HIGH / N_LOW), 3)
+    bucketed = bool(os.environ.get("ETHOS_SCALING_BUCKETED"))
     result = {
         "n_hosts": n_hosts,
         "articles": articles,
         "rounds": rounds,
         "para_boost": os.environ.get("ETHOS_SYNTH_PARA_BOOST", "1"),
+        "fetch_join": "bucketed-zero-exchange" if bucketed else "broadcast",
         f"local{N_LOW}": r_low,
         f"local{N_HIGH}": r_high,
         "scaling_efficiency": eff,
         "target": 0.8,
     }
-    with open(os.path.join(HERE, "scaling.json"), "w") as f:
+    out = "scaling_bucketed.json" if bucketed else "scaling.json"
+    with open(os.path.join(HERE, out), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 

@@ -44,10 +44,29 @@ class _Manifest:
     # same class of data — snapshot summaries — in table metadata): list of
     # JSON rows per table. Zero Spark jobs to maintain; upserted by key.
     rows: dict[str, list[dict]] = field(default_factory=dict)
+    # bucketed-layout metadata per table (Iceberg: partition/sort spec in
+    # table metadata): {"n": buckets, "cols": [...], "ddl": "col type, ..."}
+    # — enough for a FRESH session to re-register every data dir as an
+    # external bucketed table and get exchange-free co-bucketed joins.
+    buckets: dict[str, dict] = field(default_factory=dict)
 
 
 class Warehouse:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        bucket_spec: dict[str, tuple[int, list[str]]] | None = None,
+    ):
+        """``bucket_spec``: table → (num_buckets, cols). Tables named here
+        write hash-bucketed (+ sorted) on the given columns — the 100 TB
+        layout: ``pages``/``frontier`` bucketed by url so the fetch join is
+        exchange-free (Iceberg analogue: a ``bucket(N, url)`` partition
+        transform + sort order). Bucketed writes do NOT shuffle (each task
+        writes per-bucket files), so the layout is free at write time; the
+        spec is persisted in the manifest so later sessions re-register the
+        dirs and keep the join property. Tables not in the spec behave as
+        before (plain parquet dirs)."""
         self.spark = spark
         self.path = path
         os.makedirs(path, exist_ok=True)
@@ -55,6 +74,8 @@ class Warehouse:
         self._staged: dict[str, list[str]] | None = None
         self._staged_props: dict[str, str] = {}
         self._staged_rows: dict[str, list[dict]] = {}
+        self._staged_buckets: dict[str, dict] = {}
+        self._bucket_spec = dict(bucket_spec or {})
         # guards staging-dict mutations: the crawl loop submits its
         # independent lineage writes from a thread pool (parquet writes run
         # concurrently; only the dir registration needs the lock)
@@ -77,6 +98,7 @@ class Warehouse:
                 d["tables"],
                 d.get("props", {}),
                 d.get("rows", {}),
+                d.get("buckets", {}),
             )
         except FileNotFoundError:
             return _Manifest()
@@ -91,6 +113,7 @@ class Warehouse:
                 self._staged_rows = {
                     t: list(rs) for t, rs in self._manifest.rows.items()
                 }
+                self._staged_buckets = dict(self._manifest.buckets)
 
     def commit(self, tag: str, props: dict[str, str] | None = None) -> int:
         """Atomically publish all staged writes as one snapshot."""
@@ -98,7 +121,14 @@ class Warehouse:
         v = self._manifest.version + 1
         if props:
             self._staged_props.update(props)
-        m = _Manifest(v, tag, self._staged, self._staged_props, self._staged_rows)
+        m = _Manifest(
+            v,
+            tag,
+            self._staged,
+            self._staged_props,
+            self._staged_rows,
+            self._staged_buckets,
+        )
         mpath = os.path.join(self.path, f"manifest-{v}.json")
         with open(mpath, "w") as f:
             json.dump(
@@ -108,6 +138,7 @@ class Warehouse:
                     "tables": m.tables,
                     "props": m.props,
                     "rows": m.rows,
+                    "buckets": m.buckets,
                 },
                 f,
             )
@@ -139,6 +170,7 @@ class Warehouse:
                     d["tables"],
                     d.get("props", {}),
                     d.get("rows", {}),
+                    d.get("buckets", {}),
                 )
                 self._staged = None
                 return
@@ -213,6 +245,64 @@ class Warehouse:
             out.append(tuple(vals))
         return self.spark.createDataFrame(out, schema)
 
+    # -- bucketed layout ------------------------------------------------------
+
+    def _buckets(self) -> dict[str, dict]:
+        return (
+            self._staged_buckets
+            if self._staged is not None
+            else self._manifest.buckets
+        )
+
+    @staticmethod
+    def _ddl_of(schema: StructType) -> str:
+        # nullability-free DDL: CLUSTERED-BY CREATE TABLE rejects NOT NULL
+        # on some file sources, and parquet footers carry it anyway
+        return ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+
+    def _reg_name(self, data_dir: str) -> str:
+        import hashlib
+
+        h = hashlib.md5(os.path.abspath(data_dir).encode()).hexdigest()[:12]
+        return f"wh_b_{h}"
+
+    def _write_bucketed(self, table: str, df: DataFrame, data_dir: str) -> None:
+        """Bucketed external write: per-task per-bucket files, NO shuffle —
+        the layout cost is a local hash-route at write time. saveAsTable is
+        required (only catalog tables carry bucket metadata); the name is
+        dir-derived so any session can deterministically re-register."""
+        n, cols = self._bucket_spec[table]
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n, *cols)
+            .sortBy(*cols)
+            .option("path", data_dir)
+            .saveAsTable(self._reg_name(data_dir))
+        )
+        with self._lock:
+            self._staged_buckets[table] = {
+                "n": n,
+                "cols": list(cols),
+                "ddl": self._ddl_of(df.schema),
+            }
+
+    def _bucketed_df(self, data_dir: str, meta: dict) -> DataFrame:
+        """Catalog-registered read of one bucketed data dir (re-creating the
+        external-table registration if this session has never seen it) —
+        returning ``spark.table`` keeps the bucket spec in the plan, so
+        joins on the bucket columns skip the exchange."""
+        name = self._reg_name(data_dir)
+        if not self.spark.catalog.tableExists(name):
+            cols = ", ".join(f"`{c}`" for c in meta["cols"])
+            self.spark.sql(
+                f"CREATE TABLE {name} ({meta['ddl']}) USING PARQUET "
+                f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+                f"INTO {meta['n']} BUCKETS LOCATION '{data_dir}'"
+            )
+        return self.spark.table(name)
+
     # -- table ops ----------------------------------------------------------
 
     def _tables(self) -> dict[str, list[str]]:
@@ -232,6 +322,18 @@ class Warehouse:
             if schema is None:
                 raise KeyError(f"table {table!r} empty and no schema given")
             return self.spark.createDataFrame([], schema)
+        meta = self._buckets().get(table)
+        if meta:
+            # single dir (replace tables): the returned plan IS the bucketed
+            # catalog relation → co-bucketed joins run exchange-free. Multi-
+            # dir appends union per-dir relations; each scan stays pruned
+            # and sorted, but Spark does not propagate bucketing through a
+            # union — compact to one dir to restore the join property.
+            dfs = [self._bucketed_df(d, meta) for d in dirs]
+            out = dfs[0]
+            for x in dfs[1:]:
+                out = out.unionByName(x)
+            return out
         return self.spark.read.parquet(*dirs)
 
     def _new_data_dir(self, table: str) -> str:
@@ -243,7 +345,10 @@ class Warehouse:
         without waiting for the snapshot to publish."""
         self._begin()
         d = self._new_data_dir(table)
-        df.write.mode("overwrite").parquet(d)  # concurrent-safe (own dir)
+        if table in self._bucket_spec:
+            self._write_bucketed(table, df, d)
+        else:
+            df.write.mode("overwrite").parquet(d)  # concurrent-safe (own dir)
         with self._lock:
             self._staged.setdefault(table, []).append(d)
         return d
@@ -274,10 +379,13 @@ class Warehouse:
                 self._staged_rows[table] = rows
             return
         d = self._new_data_dir(table)
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(d)
+        if table in self._bucket_spec:
+            self._write_bucketed(table, df, d)
+        else:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(d)
         with self._lock:
             self._staged[table] = [d]
 
@@ -303,7 +411,7 @@ class Warehouse:
                     for ds in json.load(f)["tables"].values():
                         live.update(ds)
         removed: list[str] = []
-        for table in os.listdir(self.path):
+        for table in sorted(os.listdir(self.path)):
             tdir = os.path.join(self.path, table)
             if not os.path.isdir(tdir):
                 continue
@@ -311,8 +419,17 @@ class Warehouse:
                 full = os.path.join(tdir, d)
                 if full not in live:
                     shutil.rmtree(full, ignore_errors=True)
+                    self._drop_registration(full)
                     removed.append(full)
         return removed
+
+    def _drop_registration(self, data_dir: str) -> None:
+        """Drop any session-catalog registration of a removed bucketed dir
+        (harmless if the dir was never bucketed/registered)."""
+        try:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._reg_name(data_dir)}")
+        except Exception:
+            pass
 
     def vacuum(self, keep_last: int = 3) -> None:
         """Delete data dirs unreferenced by the last ``keep_last`` snapshots
@@ -333,3 +450,4 @@ class Warehouse:
                 full = os.path.join(tdir, d)
                 if full not in live:
                     shutil.rmtree(full, ignore_errors=True)
+                    self._drop_registration(full)

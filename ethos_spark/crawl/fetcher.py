@@ -53,8 +53,15 @@ class CorpusFetcher:
       impossible (the filter is built from the actual candidate rows).
     - no hint: plain equi-join (Catalyst/AQE picks).
 
-    At production scale the corpus and frontier would additionally be
-    bucketed on url_hash, making the tier-2 join shuffle-free.
+    **Bucketed tier (the 100 TB layout)**: when ``bucketed_table`` names a
+    catalog table bucketed on ``url`` (see ``register_bucketed_corpus``),
+    candidate batches above the broadcast gate are STAGED as a co-bucketed
+    external table (a bucketed write is shuffle-free — each task hash-routes
+    rows to per-bucket files locally) and the fetch join runs
+    table-to-table with ZERO exchanges: the corpus html never moves, and
+    unlike the bloom tier, not even the candidate slice shuffles. One tiny
+    staged write of light candidate rows replaces the join's exchange
+    entirely (tests/test_warehouse_bucketed.py asserts the plan).
     """
 
     host_partitioned = False
@@ -76,10 +83,73 @@ class CorpusFetcher:
         corpus: DataFrame,
         broadcast_candidates: bool = True,
         broadcast_max_rows: int = 1_000_000,
+        bucketed_table: str | None = None,
+        bucket_count: int = 64,
+        stage_dir: str | None = None,
     ):
         self._corpus = corpus.select("url", "html")
         self._broadcast = broadcast_candidates
         self._broadcast_max = broadcast_max_rows
+        self._bucketed_table = bucketed_table
+        self._bucket_count = bucket_count
+        self._stage_dir = stage_dir
+        self._stages: list[str] = []  # staged candidate tables, oldest first
+
+    @classmethod
+    def register_bucketed_corpus(
+        cls,
+        corpus: DataFrame,
+        name: str,
+        path: str,
+        n_buckets: int = 64,
+        **kwargs,
+    ) -> "CorpusFetcher":
+        """One-time corpus layout: write (url, html) bucketed+sorted by url
+        as an external catalog table and return a fetcher wired to it. At
+        production scale this is the WARC/pages store's standing layout
+        (Iceberg ``bucket(N, url)``), done once at ingest — not a per-query
+        cost."""
+        spark = corpus.sparkSession
+        (
+            corpus.select("url", "html")
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, "url")
+            .sortBy("url")
+            .option("path", path)
+            .saveAsTable(name)
+        )
+        import tempfile
+
+        return cls(
+            spark.table(name),
+            bucketed_table=name,
+            bucket_count=n_buckets,
+            stage_dir=tempfile.mkdtemp(prefix="ethos-fetch-stage-"),
+            **kwargs,
+        )
+
+    def _fetch_bucketed(self, cand: DataFrame) -> DataFrame:
+        """Stage candidates co-bucketed with the corpus table and join
+        table-to-table — zero exchanges end-to-end."""
+        import os
+        import uuid
+
+        spark = cand.sparkSession
+        # previous rounds' stages have been consumed by their writes; keep
+        # only the most recent one live (lazy consumers downstream)
+        while len(self._stages) > 1:
+            spark.sql(f"DROP TABLE IF EXISTS {self._stages.pop(0)}")
+        stage = f"ethos_fetch_stage_{uuid.uuid4().hex[:12]}"
+        (
+            cand.write.bucketBy(self._bucket_count, "url")
+            .sortBy("url")
+            .option("path", os.path.join(self._stage_dir, stage))
+            .saveAsTable(stage)
+        )
+        self._stages.append(stage)
+        return spark.table(self._bucketed_table).select("url", "html").join(
+            spark.table(stage), "url"
+        )
 
     def fetch(self, candidates: DataFrame, size_hint: int | None = None) -> DataFrame:
         cand = candidates
@@ -96,6 +166,8 @@ class CorpusFetcher:
             # is serial driver time, ~2s per 240k rows, and showed up
             # directly in the scaling-efficiency gap.)
             out = self._corpus.join(F.broadcast(cand), "url")
+        elif self._bucketed_table is not None:
+            out = self._fetch_bucketed(cand)
         elif size_hint is not None:
             from ethos_spark.crawl.dedup import BloomFilter
 
