@@ -254,6 +254,19 @@ class Warehouse:
             else self._manifest.buckets
         )
 
+    def _effective_spec(self, table: str) -> tuple[int, list[str]] | None:
+        """The table's bucket layout: ctor spec if given, else the spec
+        persisted in the manifest. The layout is a TABLE property — a
+        session that reopens the warehouse without repeating the spec must
+        keep writing the committed layout, or a single plain-parquet append
+        would poison every registered-bucketed read of the table."""
+        if table in self._bucket_spec:
+            return self._bucket_spec[table]
+        meta = self._buckets().get(table)
+        if meta:
+            return int(meta["n"]), list(meta["cols"])
+        return None
+
     @staticmethod
     def _ddl_of(schema: StructType) -> str:
         # nullability-free DDL: CLUSTERED-BY CREATE TABLE rejects NOT NULL
@@ -268,12 +281,14 @@ class Warehouse:
         h = hashlib.md5(os.path.abspath(data_dir).encode()).hexdigest()[:12]
         return f"wh_b_{h}"
 
-    def _write_bucketed(self, table: str, df: DataFrame, data_dir: str) -> None:
+    def _write_bucketed(
+        self, table: str, df: DataFrame, data_dir: str, spec: tuple[int, list[str]]
+    ) -> None:
         """Bucketed external write: per-task per-bucket files, NO shuffle —
         the layout cost is a local hash-route at write time. saveAsTable is
         required (only catalog tables carry bucket metadata); the name is
         dir-derived so any session can deterministically re-register."""
-        n, cols = self._bucket_spec[table]
+        n, cols = spec
         (
             df.write.mode("overwrite")
             .bucketBy(n, *cols)
@@ -345,8 +360,9 @@ class Warehouse:
         without waiting for the snapshot to publish."""
         self._begin()
         d = self._new_data_dir(table)
-        if table in self._bucket_spec:
-            self._write_bucketed(table, df, d)
+        spec = self._effective_spec(table)
+        if spec:
+            self._write_bucketed(table, df, d, spec)
         else:
             df.write.mode("overwrite").parquet(d)  # concurrent-safe (own dir)
         with self._lock:
@@ -379,8 +395,9 @@ class Warehouse:
                 self._staged_rows[table] = rows
             return
         d = self._new_data_dir(table)
-        if table in self._bucket_spec:
-            self._write_bucketed(table, df, d)
+        spec = self._effective_spec(table)
+        if spec:
+            self._write_bucketed(table, df, d, spec)
         else:
             w = df.write.mode("overwrite")
             if partition_by:
@@ -388,6 +405,32 @@ class Warehouse:
             w.parquet(d)
         with self._lock:
             self._staged[table] = [d]
+
+    def compact(self, table: str) -> bool:
+        """Rewrite a multi-dir append table into ONE data dir (staged;
+        visible after commit()). Iceberg analogue: rewrite_data_files.
+
+        For BUCKETED tables this is the maintenance op that restores the
+        exchange-free join property: appends accumulate dirs, read() unions
+        them (bucketing does not propagate through a union), and one
+        compaction folds them back into a single bucketed relation. Run it
+        on the same cadence as vacuum(). Returns False when the table
+        already has ≤1 dir (nothing to do)."""
+        self._begin()
+        with self._lock:
+            dirs = [d for d in self._staged.get(table, []) if os.path.exists(d)]
+        if len(dirs) <= 1:
+            return False
+        df = self.spark.read.parquet(*dirs)
+        d = self._new_data_dir(table)
+        spec = self._effective_spec(table)
+        if spec:
+            self._write_bucketed(table, df, d, spec)
+        else:
+            df.write.mode("overwrite").parquet(d)
+        with self._lock:
+            self._staged[table] = [d]
+        return True
 
     def set_prop(self, key: str, value: str) -> None:
         self._begin()

@@ -130,6 +130,52 @@ def test_bucketed_append_multi_dir_unions(spark, tmp_path):
     assert wh.read("pages").count() == 80
 
 
+def test_compact_restores_bucketed_join_and_spec_adoption(spark, tmp_path):
+    path = str(tmp_path / "wh4")
+    wh = Warehouse(spark, path, bucket_spec={"pages": (NB, ["url"])})
+    wh.append("pages", _corpus(spark, 1000))
+    wh.commit("round-1")
+
+    # a LATER session appends WITHOUT repeating the spec: the manifest
+    # layout must be adopted (a plain-parquet append here would poison
+    # every registered-bucketed read of the table)
+    _wipe_catalog(spark)
+    wh2 = Warehouse(spark, path)
+    d2 = wh2.append(
+        "pages",
+        spark.range(1000, 1400).select(
+            F.concat(
+                F.lit("https://h"), F.col("id") % 7, F.lit("/p/"), F.col("id")
+            ).alias("url"),
+            F.encode(F.lit("x"), "UTF-8").alias("html"),
+        ),
+    )
+    assert all("_000" in f for f in os.listdir(d2) if f.startswith("part-"))
+    wh2.commit("round-2")
+
+    probe = spark.range(0, 1400, 11).select(
+        F.concat(F.lit("https://h"), F.col("id") % 7, F.lit("/p/"), F.col("id")).alias(
+            "url"
+        )
+    )
+    probe.write.bucketBy(NB, "url").sortBy("url").option(
+        "path", str(tmp_path / "probe_b")
+    ).saveAsTable("compact_probe")
+    probe_t = spark.table("compact_probe")
+
+    # two dirs → union → the join shuffles; compact() folds them back
+    pre = wh2.read("pages").join(probe_t, "url")
+    assert count_exchanges(pre) > 0
+    assert wh2.compact("pages") is True
+    wh2.commit("compact-1")
+    post = wh2.read("pages").join(probe_t, "url")
+    assert count_exchanges(post) == 0, formatted_plan(post)
+    assert post.count() == pre.count() == 128
+    assert wh2.read("pages").count() == 1400
+    # idempotent on a single-dir table
+    assert wh2.compact("pages") is False
+
+
 def test_bucketed_fetch_tier_zero_exchange_and_parity(spark, tmp_path):
     corpus = _corpus(spark, 3000)
     fetcher = CorpusFetcher.register_bucketed_corpus(
