@@ -60,7 +60,10 @@ corpus = spark.read.parquet(corpus_path)
 # footers/stats, so force a full scan of the data columns — both children
 # must measure hot-cache engine throughput, not first-touch disk reads
 import pyspark.sql.functions as F
-corpus.select(F.sum(F.length("html")), F.count("url")).collect()
+pre_b = os.environ.get("ETHOS_SCALING_BUCKETED_CORPUS")
+warm_df = (spark.read.parquet(pre_b)
+           if bucketed and pre_b and os.path.exists(pre_b) else corpus)
+warm_df.select(F.sum(F.length("html")), F.count("url")).collect()
 # pre-warm one Arrow python worker per core (interpreter fork + package
 # imports, ~2-3 s) — a real cluster's executors are long-running with warm
 # workers; worker cold-start is not the quantity the north rule measures
@@ -73,14 +76,29 @@ def _warm(it):
 spark.range(cores * 4, numPartitions=cores).mapInPandas(_warm, "id long").count()
 wh = Warehouse(spark, tempfile.mkdtemp(prefix=f"scal{cores}-") + "/wh")
 if bucketed:
-    # ETHOS_SCALING_BUCKETED: the 100 TB layout — corpus re-written once as
-    # a bucketed table (untimed: ingest-time layout, not per-crawl work) and
+    # ETHOS_SCALING_BUCKETED: the 100 TB layout — corpus laid out once as a
+    # bucketed table (untimed: ingest-time layout, not per-crawl work) and
     # the fetch join runs the zero-exchange bucketed tier instead of the
     # broadcast tier (broadcast_candidates=False forces past the gate).
-    fetcher = CorpusFetcher.register_bucketed_corpus(
-        corpus, "scal_corpus_b",
-        tempfile.mkdtemp(prefix=f"scalb{cores}-") + "/corpus_b",
-        n_buckets=32, broadcast_candidates=False)
+    # ETHOS_SCALING_BUCKETED_CORPUS points at a PRE-BUILT bucketed dir
+    # (written once at full parallelism by the parent) so each pinned
+    # child only registers it instead of rewriting 3.6 GB on 2 cores.
+    pre = os.environ.get("ETHOS_SCALING_BUCKETED_CORPUS")
+    if pre and os.path.exists(pre):
+        spark.sql(
+            "CREATE TABLE scal_corpus_b (`url` string, `html` binary) "
+            "USING PARQUET CLUSTERED BY (url) SORTED BY (url) "
+            f"INTO 32 BUCKETS LOCATION '{pre}'")
+        from ethos_spark.crawl.fetcher import CorpusFetcher as _CF
+        fetcher = _CF(spark.table("scal_corpus_b"),
+                      bucketed_table="scal_corpus_b", bucket_count=32,
+                      stage_dir=tempfile.mkdtemp(prefix=f"scalst{cores}-"),
+                      broadcast_candidates=False)
+    else:
+        fetcher = CorpusFetcher.register_bucketed_corpus(
+            corpus, "scal_corpus_b",
+            tempfile.mkdtemp(prefix=f"scalb{cores}-") + "/corpus_b",
+            n_buckets=32, broadcast_candidates=False)
 else:
     fetcher = CorpusFetcher(corpus)
 runner = CrawlRunner(spark, wh, fetcher, SYNTH_SOURCE,

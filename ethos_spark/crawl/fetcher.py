@@ -112,6 +112,11 @@ class CorpusFetcher:
         spark = corpus.sparkSession
         (
             corpus.select("url", "html")
+            # one shuffle AT INGEST buys exactly one file per bucket
+            # (repartition and bucket id are both pmod(murmur3, n)), which
+            # is the layout Spark's merge join reads WITHOUT a sort node —
+            # otherwise every fetch round re-sorts the whole corpus side
+            .repartition(n_buckets, F.col("url"))
             .write.mode("overwrite")
             .bucketBy(n_buckets, "url")
             .sortBy("url")
