@@ -475,6 +475,57 @@ def multimodal_decode(spark, sf):
     )
 
 
+# source-mix rates for the stratified-sample query: keep-all / half /
+# quarter on three named sources, 1/10 default (per-100k granularity)
+_MIX_RATES = {"src0": 100_000, "src1": 50_000, "src2": 25_000}
+_MIX_DEFAULT = 10_000
+_MIX_SALT = "mix1"
+
+
+def stratified_sample(spark, sf):
+    """Deterministic hash-based source mixing (training-data curation):
+    a pure scan-side filter, reproducible bit-for-bit across engines —
+    the DuckDB oracle recomputes the identical md5 bucket."""
+    from ethos_spark.ops import sampling as sp
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    out = sp.stratified_sample(
+        d, "source", "doc_id", _MIX_RATES, _MIX_DEFAULT, salt=_MIX_SALT
+    )
+    return out.orderBy("doc_id")
+
+
+def streaming_dedup_digests(spark, sf):
+    """Streaming exact dedup (dropDuplicates over a file-source stream):
+    the same documents file fed as TWO micro-batch files; engine-managed
+    digest state drops the second copy. The oracle-checkable projection
+    is the distinct digest set (count + order-independent XOR)."""
+    import shutil
+    import tempfile
+
+    from ethos_spark.streaming.dedup_stream import (
+        read_documents_stream,
+        streaming_exact_dedup,
+    )
+    from ethos_spark.streaming.events_stream import drain_to_memory
+
+    tmp = tempfile.mkdtemp(prefix="ethos-sdedup-")
+    for suffix in ("a", "b"):
+        shutil.copy(
+            f"{sf}/documents.parquet", f"{tmp}/documents_{suffix}.parquet"
+        )
+    out = drain_to_memory(
+        streaming_exact_dedup(read_documents_stream(spark, tmp)),
+        complete=False,
+    )
+    return out.agg(
+        F.count("*").alias("n_unique"),
+        F.bit_xor(
+            F.conv(F.substring("digest", 1, 14), 16, 10).cast("long")
+        ).alias("digest_xor"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -510,7 +561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": token_counts,
         "streaming_windowed_events": streaming_windowed_events,
         "streaming_user_totals": streaming_user_totals,
+        "streaming_dedup_digests": streaming_dedup_digests,
         "multimodal_decode": multimodal_decode,
+        "stratified_sample": stratified_sample,
     }
 
 
@@ -881,5 +934,25 @@ FROM reach GROUP BY src ORDER BY doc_id
                    ((octet_length(encode(text)) * 7) % 480 + 1)::int AS height,
                    'png' AS codec
             FROM documents WHERE doc_id < 200 ORDER BY doc_id
+        """,
+        "stratified_sample": f"""
+            -- identical md5 bucket as ops/sampling.py:sample_bucket
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5('{_MIX_SALT}' || CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT
+                    % 100000
+                  < (CASE source WHEN 'src0' THEN 100000
+                                 WHEN 'src1' THEN 50000
+                                 WHEN 'src2' THEN 25000
+                                 ELSE 10000 END)
+            ORDER BY doc_id
+        """,
+        "streaming_dedup_digests": f"""
+            -- the streaming drop-duplicates emits exactly the distinct
+            -- digest set; count + order-independent XOR is the projection
+            SELECT count(*) AS n_unique,
+                   bit_xor(('0x' || substr(digest, 1, 14))::UBIGINT)::BIGINT
+                     AS digest_xor
+            FROM (SELECT DISTINCT md5({_NORM.format(x='text')}) AS digest
+                  FROM documents)
         """,
     }
