@@ -59,6 +59,20 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--host", default="127.0.0.1")
     v.add_argument("--port", type=int, default=3000)
 
+    # warehouse maintenance (Iceberg: rewrite_data_files / expire_snapshots
+    # / remove_orphan_files — the ops cadence a long-lived corpus needs)
+    m = sub.add_parser("maintain")
+    m.add_argument("--warehouse", required=True)
+    m.add_argument(
+        "--compact",
+        default="",
+        help="comma-separated tables to compact into one data dir",
+    )
+    m.add_argument("--vacuum", type=int, default=None, metavar="KEEP_LAST",
+                   help="expire data dirs outside the last N snapshots")
+    m.add_argument("--gc-orphans", action="store_true",
+                   help="remove data dirs no committed snapshot references")
+
     args = p.parse_args(argv)
 
     from ethos_spark.catalog import Warehouse
@@ -145,6 +159,21 @@ def main(argv: list[str] | None = None) -> int:
         from ethos_spark.serve.admin import delete_content_by_hash
 
         print(json.dumps(delete_content_by_hash(wh, args.hashes.split(","))))
+    elif args.cmd == "maintain":
+        out: dict = {}
+        if args.gc_orphans:
+            out["gc_orphans_removed"] = len(wh.gc_orphans())
+        compacted = []
+        for t in (x for x in args.compact.split(",") if x):
+            if wh.compact(t):
+                compacted.append(t)
+        if compacted:
+            wh.commit("compact")
+        out["compacted"] = compacted
+        if args.vacuum is not None:
+            wh.vacuum(keep_last=args.vacuum)
+            out["vacuum_keep_last"] = args.vacuum
+        print(json.dumps(out))
     elif args.cmd == "serve":
         from ethos_spark.serve.http import ApiApp, make_server
         from ethos_spark.sources.config import SOURCES
