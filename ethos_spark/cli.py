@@ -59,6 +59,11 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--host", default="127.0.0.1")
     v.add_argument("--port", type=int, default=3000)
 
+    w = sub.add_parser("view")  # reference interactive viewer (ui/viewer.ts)
+    w.add_argument("--warehouse", required=True)
+    w.add_argument("--session", default=None, help="session id (default: latest)")
+    w.add_argument("--max-items", type=int, default=10_000)
+
     # warehouse maintenance (Iceberg: rewrite_data_files / expire_snapshots
     # / remove_orphan_files — the ops cadence a long-lived corpus needs)
     m = sub.add_parser("maintain")
@@ -159,6 +164,48 @@ def main(argv: list[str] | None = None) -> int:
         from ethos_spark.serve.admin import delete_content_by_hash
 
         print(json.dumps(delete_content_by_hash(wh, args.hashes.split(","))))
+    elif args.cmd == "view":
+        from datetime import datetime
+
+        from ethos_spark import schemas
+        from ethos_spark.serve.queries import session_contents, sessions_list
+        from ethos_spark.ui.viewer import ViewerItem, run_viewer
+
+        sessions = wh.read("sessions", schemas.SESSIONS)
+        if args.session:
+            sid_rows = sessions.where(sessions["id"] == args.session).collect()
+        else:
+            sid_rows = sessions_list(sessions).limit(1).collect()
+        if not sid_rows:
+            print("No crawl session available for viewing.", file=sys.stderr)
+            spark.stop()
+            return 2
+        rows = (
+            session_contents(
+                wh.read("session_content", schemas.SESSION_CONTENT),
+                wh.read("pages", schemas.PAGES_OUT),
+                sid_rows[0]["id"],
+            )
+            .select("title", "hash", "url", "published_date", "content")
+            .limit(args.max_items)  # terminal pager bound, not a query bound
+            .collect()
+        )
+        run_viewer(
+            [
+                ViewerItem(
+                    title=r.title or "(untitled)",
+                    hash=r.hash,
+                    url=r.url,
+                    published_date=(
+                        datetime.fromisoformat(r.published_date)
+                        if r.published_date
+                        else None
+                    ),
+                    content=r.content,
+                )
+                for r in rows
+            ]
+        )
     elif args.cmd == "maintain":
         out: dict = {}
         if args.gc_orphans:
