@@ -59,6 +59,11 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--host", default="127.0.0.1")
     v.add_argument("--port", type=int, default=3000)
 
+    mm = sub.add_parser("menu")  # reference interactive entry (ui/menus.ts)
+    mm.add_argument("--warehouse", required=True)
+    mm.add_argument("--corpus", default=None, help="pages input for crawl")
+    mm.add_argument("--source", default="synthetic_news")
+
     w = sub.add_parser("view")  # reference interactive viewer (ui/viewer.ts)
     w.add_argument("--warehouse", required=True)
     w.add_argument("--session", default=None, help="session id (default: latest)")
@@ -164,7 +169,96 @@ def main(argv: list[str] | None = None) -> int:
         from ethos_spark.serve.admin import delete_content_by_hash
 
         print(json.dumps(delete_content_by_hash(wh, args.hashes.split(","))))
-    elif args.cmd == "view":
+    elif args.cmd == "menu":
+        import pyspark.sql.functions as F
+
+        from ethos_spark import schemas
+        from ethos_spark.serve.queries import sessions_list
+        from ethos_spark.ui.menus import show_main_menu
+
+        def _crawl():
+            if not args.corpus:
+                print("No --corpus given; crawl unavailable in this menu.")
+                return None
+            from datetime import datetime, timezone
+
+            from ethos_spark.crawl.fetcher import CorpusFetcher
+            from ethos_spark.crawl.runner import CrawlOptions, CrawlRunner
+            from ethos_spark.serve.errors_report import render_errors_report
+            from ethos_spark.sources.config import SOURCES
+            from ethos_spark.ui.menus import (
+                calculate_total_errors,
+                show_post_crawl_menu,
+            )
+
+            config = SOURCES[args.source]
+            runner = CrawlRunner(
+                spark,
+                wh,
+                CorpusFetcher(spark.read.parquet(args.corpus)),
+                config,
+                CrawlOptions(),
+            )
+            runner.seed([config.listing.url])
+            summary = runner.run()
+            print(summary.to_json())
+            fs_rows = [
+                r.asDict()
+                for r in wh.read("field_stats", schemas.FIELD_STATS)
+                .where(F.col("session_id") == runner.session_id)
+                .collect()
+            ]
+            action = show_post_crawl_menu(
+                summary.items_found,
+                calculate_total_errors(
+                    summary.listing_error_messages,
+                    summary.content_error_messages,
+                    fs_rows,
+                ),
+                stored_count=summary.contents_crawled,
+            )
+            if action == "view":
+                print("run: ethos-spark view --warehouse", args.warehouse)
+                return None
+            if action == "errors":
+                srow = (
+                    wh.read("sessions", schemas.SESSIONS)
+                    .where(F.col("id") == runner.session_id)
+                    .collect()
+                )
+                fs = wh.read("field_stats", schemas.FIELD_STATS)
+                if srow:
+                    print(
+                        render_errors_report(
+                            srow[0],
+                            fs,
+                            datetime.now(timezone.utc).isoformat(),
+                        )
+                    )
+                return None
+            return action if action in ("crawl", "exit") else None
+
+        def _sessions():
+            for row in (
+                sessions_list(wh.read("sessions", schemas.SESSIONS))
+                .limit(50)
+                .collect()
+            ):
+                print(
+                    f"{row['id']}  {row['source_id']}  "
+                    f"{row['start_time']}  {row['stopped_reason']}"
+                )
+            return None
+
+        def _clean():
+            hashes = input("hashes to delete (comma-separated, empty=abort): ")
+            if hashes.strip():
+                from ethos_spark.serve.admin import delete_content_by_hash
+
+                print(json.dumps(delete_content_by_hash(wh, hashes.split(","))))
+            return None
+
+        show_main_menu({"crawl": _crawl, "sessions": _sessions, "clean": _clean})
         from datetime import datetime
 
         from ethos_spark import schemas
