@@ -176,6 +176,66 @@ def test_compact_restores_bucketed_join_and_spec_adoption(spark, tmp_path):
     assert wh2.compact("pages") is False
 
 
+def test_crawl_on_bucketed_warehouse_identical(spark, tmp_path):
+    """The FULL 100 TB configuration end-to-end: crawl loop writing a
+    bucket_spec'd warehouse (pages by url_hash, frontier by url) while
+    fetching through the bucketed zero-exchange corpus tier — output
+    byte-identical to the plain-layout broadcast-tier run."""
+    from ethos_spark.catalog import Warehouse as WH
+    from ethos_spark.crawl.runner import CrawlOptions, CrawlRunner
+    from ethos_spark.sources.config import SYNTH_SOURCE
+    from ethos_spark.synth import build_pages_df, listing_url
+
+    corpus = build_pages_df(spark, 3, 60).cache()
+    corpus.count()
+    seeds = [listing_url(h, 1) for h in range(3)]
+    cols = ["processed_order", "url", "title", "content", "had_extraction_error"]
+
+    wh_plain = WH(spark, str(tmp_path / "wh_plain"))
+    r1 = CrawlRunner(
+        spark, wh_plain, CorpusFetcher(corpus), SYNTH_SOURCE, CrawlOptions()
+    )
+    r1.seed(seeds)
+    r1.run()
+
+    wh_b = WH(
+        spark,
+        str(tmp_path / "wh_b"),
+        bucket_spec={
+            "pages": (NB, ["url_hash"]),
+            "frontier_pending": (NB, ["url"]),
+        },
+    )
+    fetcher = CorpusFetcher.register_bucketed_corpus(
+        corpus,
+        "crawl_corpus_b",
+        str(tmp_path / "crawl_corpus_b"),
+        n_buckets=NB,
+        broadcast_candidates=False,
+    )
+    r2 = CrawlRunner(
+        spark,
+        wh_b,
+        fetcher,
+        SYNTH_SOURCE,
+        CrawlOptions(broadcast_max_rows=0),
+    )
+    r2.seed(seeds)
+    r2.run()
+
+    a = sorted(map(tuple, wh_plain.read("pages").select(*cols).collect()))
+    b = sorted(map(tuple, wh_b.read("pages").select(*cols).collect()))
+    assert a == b and len(a) > 30
+    # the bucketed layout is real on disk for every round's append
+    pages_dirs = wh_b._tables()["pages"]
+    for d in pages_dirs:
+        parts = [f for f in os.listdir(d) if f.startswith("part-")]
+        assert all("_000" in f for f in parts)
+    # a fresh session (catalog wiped, no spec repeated) still reads it
+    _wipe_catalog(spark)
+    assert WH(spark, str(tmp_path / "wh_b")).read("pages").count() == len(a)
+
+
 def test_bucketed_fetch_tier_zero_exchange_and_parity(spark, tmp_path):
     corpus = _corpus(spark, 3000)
     fetcher = CorpusFetcher.register_bucketed_corpus(
