@@ -344,12 +344,31 @@ class Warehouse:
             # dir appends union per-dir relations; each scan stays pruned
             # and sorted, but Spark does not propagate bucketing through a
             # union — compact to one dir to restore the join property.
-            dfs = [self._bucketed_df(d, meta) for d in dirs]
+            # LEGACY dirs written before the spec existed carry no bucket id
+            # in their file names and CANNOT be scanned as bucketed
+            # ("Invalid bucket file") — they plain-read into the union.
+            bdirs = [d for d in dirs if self._dir_is_bucketed(d)]
+            pdirs = [d for d in dirs if d not in bdirs]
+            dfs = [self._bucketed_df(d, meta) for d in bdirs]
+            if pdirs:
+                dfs.append(self.spark.read.parquet(*pdirs))
             out = dfs[0]
             for x in dfs[1:]:
                 out = out.unionByName(x)
             return out
         return self.spark.read.parquet(*dirs)
+
+    @staticmethod
+    def _dir_is_bucketed(data_dir: str) -> bool:
+        """Bucketed writes encode the bucket id in every part file name
+        (``part-00000-<uuid>_00003...``); a dir whose part files lack it
+        was written plain. Empty dirs register either way."""
+        import re
+
+        for f in os.listdir(data_dir):
+            if f.startswith("part-"):
+                return re.search(r"_\d{5}\.", f) is not None
+        return True
 
     def _new_data_dir(self, table: str) -> str:
         return os.path.join(self.path, table, f"data-{uuid.uuid4().hex[:12]}")

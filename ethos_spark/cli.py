@@ -202,10 +202,17 @@ def main(argv: list[str] | None = None) -> int:
             runner.seed([config.listing.url])
             summary = runner.run()
             print(summary.to_json())
+            # LISTING-stage rows only: the reference's summary.fieldStats is
+            # built from config.listing.fields (MetadataTracker), and the
+            # errors report's required_field_issues filters the same way —
+            # content-stage rows must not inflate the menu's error count
             fs_rows = [
                 r.asDict()
                 for r in wh.read("field_stats", schemas.FIELD_STATS)
-                .where(F.col("session_id") == runner.session_id)
+                .where(
+                    (F.col("session_id") == runner.session_id)
+                    & (F.col("stage") == "listing")
+                )
                 .collect()
             ]
             action = show_post_crawl_menu(
@@ -259,6 +266,7 @@ def main(argv: list[str] | None = None) -> int:
             return None
 
         show_main_menu({"crawl": _crawl, "sessions": _sessions, "clean": _clean})
+    elif args.cmd == "view":
         from datetime import datetime
 
         from ethos_spark import schemas

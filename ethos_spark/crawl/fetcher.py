@@ -93,7 +93,8 @@ class CorpusFetcher:
         self._bucketed_table = bucketed_table
         self._bucket_count = bucket_count
         self._stage_dir = stage_dir
-        self._stages: list[str] = []  # staged candidate tables, oldest first
+        # staged candidate (table, data_dir) pairs, oldest first
+        self._stages: list[tuple[str, str]] = []
 
     @classmethod
     def register_bucketed_corpus(
@@ -141,17 +142,25 @@ class CorpusFetcher:
 
         spark = cand.sparkSession
         # previous rounds' stages have been consumed by their writes; keep
-        # only the most recent one live (lazy consumers downstream)
+        # only the most recent one live (lazy consumers downstream). DROP
+        # TABLE on an external table only removes the catalog entry, so the
+        # data dir is deleted explicitly — otherwise a long crawl leaks one
+        # candidate copy per round into stage_dir.
+        import shutil
+
         while len(self._stages) > 1:
-            spark.sql(f"DROP TABLE IF EXISTS {self._stages.pop(0)}")
+            name, path = self._stages.pop(0)
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(path, ignore_errors=True)
         stage = f"ethos_fetch_stage_{uuid.uuid4().hex[:12]}"
+        stage_path = os.path.join(self._stage_dir, stage)
         (
             cand.write.bucketBy(self._bucket_count, "url")
             .sortBy("url")
-            .option("path", os.path.join(self._stage_dir, stage))
+            .option("path", stage_path)
             .saveAsTable(stage)
         )
-        self._stages.append(stage)
+        self._stages.append((stage, stage_path))
         return spark.table(self._bucketed_table).select("url", "html").join(
             spark.table(stage), "url"
         )

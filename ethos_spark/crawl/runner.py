@@ -235,6 +235,10 @@ class CrawlRunner:
         for t, s in [
             ("seen_session", schemas.SEEN),
             ("host_state", "host string, pages_processed long, stopped_reason string"),
+            # per-chain itemsProcessed offsets are SESSION state in the
+            # reference (MetadataTracker builds fieldStats fresh per
+            # session) — reset on seed, preserved on resume
+            ("host_offsets", schemas.HOST_OFFSETS),
         ]:
             self.wh.replace(t, self.spark.createDataFrame([], s))
         self.wh.set_prop("session_id", self.session_id)
@@ -462,21 +466,32 @@ class CrawlRunner:
             .agg(
                 F.count("*").alias("n_date_err"),
                 # quarantine messages mirror the reference throw text
-                # (ListingPageExtractor.ts:313-323 + utils/date.ts:44-47)
+                # (ListingPageExtractor.ts:313-323 + utils/date.ts:44-47);
+                # ordered by the item's position on its page (the
+                # reference's insertion order), made deterministic by
+                # sorting (item_index, msg) structs — NOT alphabetically
                 F.slice(
-                    F.sort_array(
-                        F.collect_list(
-                            F.concat(
-                                F.lit('Date parsing failed for item "'),
-                                F.coalesce("title", "url"),
-                                F.lit('": Unable to parse date format: "'),
-                                F.col("published_raw"),
-                                F.lit(
-                                    '". Source format may have changed and '
-                                    "requires code update."
-                                ),
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("item_index").alias("i"),
+                                    F.concat(
+                                        F.lit('Date parsing failed for item "'),
+                                        F.coalesce("title", "url"),
+                                        F.lit(
+                                            '": Unable to parse date format: "'
+                                        ),
+                                        F.col("published_raw"),
+                                        F.lit(
+                                            '". Source format may have changed'
+                                            " and requires code update."
+                                        ),
+                                    ).alias("m"),
+                                )
                             )
-                        )
+                        ),
+                        lambda s: s["m"],
                     ),
                     1,
                     MAX_ERROR_MESSAGES,
@@ -526,13 +541,48 @@ class CrawlRunner:
             F.sum(
                 F.col("stop_reason").eqNullSafe("no_next_button").cast("long")
             ).alias("stop_no_next"),
+            # cross-host assembly keeps each host's in-page message order
+            # intact (the reference's single-source session IS one host, so
+            # this reproduces its insertion order exactly) and orders hosts
+            # deterministically — sort on (host, msgs) structs, never on
+            # the flattened messages (alphabetical would break parity)
             F.slice(
-                F.sort_array(F.flatten(F.collect_list("reasons"))),
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("host").alias("h"),
+                                    F.col("reasons").alias("ms"),
+                                )
+                            )
+                        ),
+                        lambda s: s["ms"],
+                    )
+                ),
                 1,
                 MAX_ERROR_MESSAGES,
             ).alias("listing_msgs"),
             F.slice(
-                F.sort_array(F.flatten(F.collect_list("date_err_msgs"))),
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            # null for most hosts (left join) — a null
+                            # STRUCT is skipped by collect_list, while a
+                            # null array inside flatten() nulls the result
+                            F.collect_list(
+                                F.when(
+                                    F.col("date_err_msgs").isNotNull(),
+                                    F.struct(
+                                        F.col("host").alias("h"),
+                                        F.col("date_err_msgs").alias("ms"),
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda s: s["ms"],
+                    )
+                ),
                 1,
                 MAX_ERROR_MESSAGES,
             ).alias("date_msgs"),

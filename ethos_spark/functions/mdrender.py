@@ -86,16 +86,6 @@ def markdown_to_html(md: str | None) -> str | None:
     return "\n".join(out)
 
 
-_TAG_RE = re.compile(r"<[^>]+>")
-
-
-def preview_text(md: str | None, limit: int = 250) -> str | None:
-    """Listing preview: render, strip tags, truncate + "..."
-    (listing-handler.ts:82-92)."""
-    if md is None:
-        return None
-    html = markdown_to_html(md) or ""
-    text = re.sub(r"\s+", " ", _TAG_RE.sub(" ", html)).strip()
-    if len(text) <= limit:
-        return text
-    return text[:limit] + "..."
+# the 250-char listing preview lives in serve/views.py (preview_250),
+# which matches the reference's textContent semantics exactly — the older
+# whitespace-collapsing variant here was removed as dead code

@@ -260,11 +260,11 @@ def test_bucketed_fetch_tier_zero_exchange_and_parity(spark, tmp_path):
     got = sorted(r.url for r in out.collect())
     want = sorted(r.url for r in bcast.collect())
     assert got == want and len(got) == 600
-    # second fetch call drops the consumed stage table (leak control)
+    # leak control: later fetches drop consumed stages from the catalog
+    # AND delete their data dirs (DROP TABLE alone leaves external files)
+    first_name, first_path = fetcher._stages[0]
     fetcher.fetch(cand.limit(10), size_hint=10)
-    stages = [
-        t.name
-        for t in spark.catalog.listTables()
-        if t.name.startswith("ethos_fetch_stage_")
-    ]
-    assert len(stages) <= 2
+    fetcher.fetch(cand.limit(10), size_hint=10)
+    assert len(fetcher._stages) <= 2
+    assert not spark.catalog.tableExists(first_name)
+    assert not os.path.exists(first_path)
