@@ -176,6 +176,37 @@ def test_compact_restores_bucketed_join_and_spec_adoption(spark, tmp_path):
     assert wh2.compact("pages") is False
 
 
+def test_legacy_plain_dirs_survive_spec_adoption(spark, tmp_path):
+    """A table with pre-spec plain-parquet dirs must keep reading after a
+    bucket spec is introduced: the legacy dir plain-reads into the union
+    (registering it bucketed would fail with 'Invalid bucket file'), new
+    appends write bucketed, and compact() migrates everything into one
+    bucketed dir."""
+    path = str(tmp_path / "whL")
+    wh0 = Warehouse(spark, path)  # no spec: plain layout
+    wh0.append("pages", _corpus(spark, 300))
+    wh0.commit("r1")
+
+    wh1 = Warehouse(spark, path, bucket_spec={"pages": (NB, ["url"])})
+    d2 = wh1.append(
+        "pages",
+        spark.range(300, 400).select(
+            F.concat(F.lit("https://h"), F.col("id") % 7, F.lit("/p/"), F.col("id"))
+            .alias("url"),
+            F.encode(F.lit("x"), "UTF-8").alias("html"),
+        ),
+    )
+    wh1.commit("r2")
+    assert all("_000" in f for f in os.listdir(d2) if f.startswith("part-"))
+    assert wh1.read("pages").count() == 400  # mixed layouts both readable
+
+    assert wh1.compact("pages") is True  # migration: one bucketed dir
+    wh1.commit("compact")
+    (only_dir,) = wh1._tables()["pages"]
+    assert all("_000" in f for f in os.listdir(only_dir) if f.startswith("part-"))
+    assert wh1.read("pages").count() == 400
+
+
 def test_crawl_on_bucketed_warehouse_identical(spark, tmp_path):
     """The FULL 100 TB configuration end-to-end: crawl loop writing a
     bucket_spec'd warehouse (pages by url_hash, frontier by url) while
