@@ -637,6 +637,18 @@ class CrawlRunner:
             self.summary.host_stops["fetch_error"] = (
                 self.summary.host_stops.get("fetch_error", 0) + n_failed_pages
             )
+        # chains still alive after this round — gates dead-state writes
+        # (host_offsets is session-scoped: once every chain stopped, the
+        # offsets can never be read again)
+        n_hosts_continuing = max(
+            0,
+            n_hosts_active
+            - sum(
+                int(g[c] or 0)
+                for c in ("stop_all_dup", "stop_max_pages", "stop_no_next")
+            )
+            - n_failed_pages,
+        )
 
         # ---- content schedule ----------------------------------------------
         all_dup_hosts_df = host_round.where(
@@ -1117,19 +1129,25 @@ class CrawlRunner:
                 ex.submit(self.wh.append, t, df) for t, df in _stored_jobs(stored)
             ]
             # roll the per-chain itemsProcessed counters forward (the
-            # listing-offset table read above this round's writes)
-            new_offsets = (
-                prev_offsets.unionByName(
-                    stored.groupBy("host").agg(
-                        F.count("*").alias("items_cum")
+            # listing-offset table read above this round's writes) — but
+            # only while some chain continues: a session whose every host
+            # stopped this round can never read the offsets again, so the
+            # write is skipped (one fewer job in single-round sessions;
+            # interrupted sessions still write because their hosts count
+            # as continuing)
+            if n_hosts_continuing > 0:
+                new_offsets = (
+                    prev_offsets.unionByName(
+                        stored.groupBy("host").agg(
+                            F.count("*").alias("items_cum")
+                        )
                     )
+                    .groupBy("host")
+                    .agg(F.sum("items_cum").alias("items_cum"))
                 )
-                .groupBy("host")
-                .agg(F.sum("items_cum").alias("items_cum"))
-            )
-            futs.append(
-                ex.submit(self.wh.replace, "host_offsets", new_offsets)
-            )
+                futs.append(
+                    ex.submit(self.wh.replace, "host_offsets", new_offsets)
+                )
             fut_frontier.result()
             for f in futs:
                 f.result()

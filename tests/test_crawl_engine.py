@@ -589,6 +589,9 @@ def test_per_chain_listing_offsets_two_hosts(spark, tmp_path):
     # host B's miss: offset 1 + local idx 1 -> 2
     # (the old session-global offset 4 would have yielded [5, 6])
     assert sorted(r2["url"].missing_items) == [2, 5]
-    # per-host cumulative counters persisted and correct after the run
+    # per-host counters hold the values the LAST offset consumer saw: the
+    # final round's roll is skipped as dead state (every chain stopped, no
+    # future listing page can read it — the reference's itemsProcessed is
+    # in-memory session state that vanishes at session end)
     offs = {r.host: r.items_cum for r in wh.read("host_offsets").collect()}
-    assert offs == {a: 4, b: 2}
+    assert offs == {a: 3, b: 1}
