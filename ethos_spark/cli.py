@@ -20,6 +20,40 @@ import json
 import sys
 
 
+def _crawl_summary_block(wh, runner, config, summary) -> str:
+    """The reference's post-crawl console summary (ui/summary.ts via
+    display.ts displayResults), fed from the session's field_stats rows
+    aggregated per field in config field order."""
+    import pyspark.sql.functions as F
+
+    from ethos_spark import schemas
+    from ethos_spark.ui.summary import render_crawl_summary
+
+    rows = [
+        r.asDict()
+        for r in wh.read("field_stats", schemas.FIELD_STATS)
+        .where(F.col("session_id") == runner.session_id)
+        .groupBy("stage", "field_name", "is_optional")
+        .agg(
+            F.sum("success_count").alias("success_count"),
+            F.sum("total_attempts").alias("total_attempts"),
+        )
+        .collect()
+    ]
+
+    def ordered(stage: str, field_order: list[str]):
+        order = {n: i for i, n in enumerate(field_order)}
+        sel = [r for r in rows if r["stage"] == stage]
+        return sorted(sel, key=lambda r: order.get(r["field_name"], len(order)))
+
+    return render_crawl_summary(
+        summary,
+        config.name,
+        ordered("listing", list(config.listing.fields)),
+        ordered("content", list(config.content.fields)),
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ethos-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -124,6 +158,7 @@ def main(argv: list[str] | None = None) -> int:
             seeds = [u for u in args.seeds.split(",") if u] or [config.listing.url]
             runner.seed(seeds)
         summary = runner.run()
+        print(_crawl_summary_block(wh, runner, config, summary))
         print(summary.to_json())
     elif args.cmd == "sessions":
         from ethos_spark import schemas
@@ -201,7 +236,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             runner.seed([config.listing.url])
             summary = runner.run()
-            print(summary.to_json())
+            print(_crawl_summary_block(wh, runner, config, summary))
             # LISTING-stage rows only: the reference's summary.fieldStats is
             # built from config.listing.fields (MetadataTracker), and the
             # errors report's required_field_issues filters the same way —
