@@ -19,12 +19,24 @@ from pyspark.sql import DataFrame
 
 
 class Fetcher(Protocol):
-    def fetch(self, candidates: DataFrame, size_hint: int | None = None) -> DataFrame:
+    def fetch(
+        self,
+        candidates: DataFrame,
+        size_hint: int | None = None,
+        stage: str = "content",
+    ) -> DataFrame:
         """candidates (must contain ``url``) → same rows + ``html`` binary
         (NULL = fetch failure) + ``fetch_ms`` double per-row amortized.
         ``size_hint``: caller-known upper bound on the candidate row count
         (the politeness window size) — lets the fetcher pick broadcast vs
-        shuffle join without an extra count job."""
+        shuffle join without an extra count job.
+        ``stage``: ``"listing"`` or ``"content"`` — network fetchers apply
+        the politeness delay only between listing pages and fan content
+        requests out concurrently per host (the reference's model:
+        PaginationHandler.ts:58-63 delays between listing pages only;
+        ConcurrentContentExtractor.ts:67-168 runs content pages through a
+        pool of up to HIGH_PERFORMANCE_LIMIT=8 concurrent tabs,
+        constants.ts:16-21)."""
         ...
 
 
@@ -165,7 +177,27 @@ class CorpusFetcher:
             spark.table(stage), "url"
         )
 
-    def fetch(self, candidates: DataFrame, size_hint: int | None = None) -> DataFrame:
+    def close(self) -> None:
+        """Drop any still-registered candidate stage tables and their data
+        dirs (DROP TABLE on an external table removes only the catalog
+        entry). Called from the runner's finalize so a finished crawl
+        leaves neither catalog entries nor temp dirs behind."""
+        import shutil
+
+        spark = self._corpus.sparkSession
+        while self._stages:
+            name, path = self._stages.pop(0)
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(path, ignore_errors=True)
+        if self._stage_dir is not None:
+            shutil.rmtree(self._stage_dir, ignore_errors=True)
+
+    def fetch(
+        self,
+        candidates: DataFrame,
+        size_hint: int | None = None,
+        stage: str = "content",
+    ) -> DataFrame:
         cand = candidates
         if (
             self._broadcast
@@ -203,9 +235,19 @@ class CorpusFetcher:
 
 class HttpFetcher:
     """Real-network fetcher: an Arrow-batched ``mapInPandas`` over
-    host-partitioned candidates, stdlib ``urllib`` per request, politeness
-    delay between requests to the same host (one host's URLs land in one
-    task, so the in-task sleep IS the per-host serialization guarantee).
+    host-partitioned candidates, stdlib ``urllib`` per request.
+
+    Politeness follows the reference's model exactly:
+
+    - **listing** pages are fetched serially per host with ``delay_sec``
+      between consecutive requests (PaginationHandler.ts:58-63 — the delay
+      sits between listing pages only);
+    - **content** pages fan out through a per-host pool of up to
+      ``concurrency`` (= HIGH_PERFORMANCE_LIMIT, 8) concurrent requests
+      with NO politeness delay (ConcurrentContentExtractor.ts:67-168,
+      constants.ts:16-21). One host's URLs land in one Spark task (the
+      ``repartition(host)`` below), so the in-task pool bound IS the
+      per-host concurrency guarantee — tasks never share a host.
 
     ``gateway``: optional fetch-gateway base URL — when set, each request
     goes to ``gateway + urlquote(url)`` while the row keeps its original
@@ -229,41 +271,86 @@ class HttpFetcher:
         timeout_sec: float = 60.0,
         delay_sec: float = 1.0,
         gateway: str | None = None,
+        concurrency: int = 8,  # HIGH_PERFORMANCE_LIMIT (constants.ts:16-21)
     ):
         self.timeout_sec = timeout_sec
         self.delay_sec = delay_sec
         self.gateway = gateway
+        self.concurrency = concurrency
 
-    def fetch(self, candidates: DataFrame, size_hint: int | None = None) -> DataFrame:
+    def fetch(
+        self,
+        candidates: DataFrame,
+        size_hint: int | None = None,
+        stage: str = "content",
+    ) -> DataFrame:
         timeout, delay, gateway = self.timeout_sec, self.delay_sec, self.gateway
+        pool_size = max(1, self.concurrency) if stage == "content" else 1
         # enforce the host_partitioned contract: hash-partition on host so
-        # one host's URLs land in one task and the per-request delay
-        # actually serializes requests to that host (politeness guarantee
-        # the flag advertises); without this the candidates arrive on
-        # whatever partitioning the frontier scan produced
+        # one host's URLs land in one task and the in-task pool bound /
+        # inter-request delay actually applies per host (politeness
+        # guarantee the flag advertises); without this the candidates
+        # arrive on whatever partitioning the frontier scan produced
         if "host" in candidates.columns:
             candidates = candidates.repartition(F.col("host"))
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _get(url: str) -> tuple[bytes | None, float]:
             import urllib.parse
             import urllib.request
 
+            req_url = gateway + urllib.parse.quote(url, safe="") if gateway else url
+            t0 = time.monotonic()
+            try:
+                with urllib.request.urlopen(req_url, timeout=timeout) as r:
+                    body = r.read()
+            except Exception:
+                body = None
+            return body, (time.monotonic() - t0) * 1000.0
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from concurrent.futures import ThreadPoolExecutor
+
             for pdf in batches:
-                htmls, times = [], []
-                for url in pdf["url"]:
-                    req_url = (
-                        gateway + urllib.parse.quote(url, safe="")
-                        if gateway
-                        else url
+                urls = list(pdf["url"])
+                if pool_size > 1 and len(urls) > 1:
+                    # content stage: per-host fan-out, ≤ pool_size in
+                    # flight per host group, no delay between requests.
+                    # Group by host so a rare multi-host batch still holds
+                    # the limit PER HOST, not just per task; executor.map
+                    # preserves input order.
+                    hosts = (
+                        list(pdf["host"])
+                        if "host" in pdf.columns
+                        else [""] * len(urls)
                     )
-                    t0 = time.monotonic()
-                    try:
-                        with urllib.request.urlopen(req_url, timeout=timeout) as r:
-                            htmls.append(r.read())
-                    except Exception:
-                        htmls.append(None)
-                    times.append((time.monotonic() - t0) * 1000.0)
-                    time.sleep(delay)
+                    results: list[tuple[bytes | None, float]] = [None] * len(urls)  # type: ignore[list-item]
+                    by_host: dict[str, list[int]] = {}
+                    for i, h in enumerate(hosts):
+                        by_host.setdefault(h, []).append(i)
+                    for idxs in by_host.values():
+                        with ThreadPoolExecutor(
+                            max_workers=min(pool_size, len(idxs))
+                        ) as ex:
+                            for i, res in zip(
+                                idxs, ex.map(_get, [urls[i] for i in idxs])
+                            ):
+                                results[i] = res
+                    htmls = [r[0] for r in results]
+                    times = [r[1] for r in results]
+                else:
+                    # listing stage: strictly serial per host, politeness
+                    # delay BEFORE each request — in the round-based loop a
+                    # host fetches one listing page per round, so the
+                    # pre-request sleep is what spaces consecutive listing
+                    # pages of the same chain across rounds (the reference
+                    # delays between listing pages, PaginationHandler.ts:58)
+                    htmls, times = [], []
+                    for url in urls:
+                        if delay:
+                            time.sleep(delay)
+                        body, ms = _get(url)
+                        htmls.append(body)
+                        times.append(ms)
                 pdf = pdf.copy()
                 pdf["html"] = htmls
                 pdf["fetch_ms"] = times

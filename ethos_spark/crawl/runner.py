@@ -323,9 +323,9 @@ class CrawlRunner:
         # both fetcher contracts express failure as ABSENCE from here on: a
         # returns_misses fetcher marks failures html=NULL — drop those rows
         # so the retry/miss machinery below sees them as misses too
-        fetched = self.fetcher.fetch(lkeys, size_hint=listing_hint).where(
-            F.col("html").isNotNull()
-        )
+        fetched = self.fetcher.fetch(
+            lkeys, size_hint=listing_hint, stage="listing"
+        ).where(F.col("html").isNotNull())
         lres = extract_listing_stage(fetched, self.config.listing).join(
             lkeys, "url"
         ).cache()
@@ -355,9 +355,9 @@ class CrawlRunner:
             missed_l = _listing_misses(lres)
             retry_res = (
                 extract_listing_stage(
-                    self.fetcher.fetch(missed_l, size_hint=n_lmiss).where(
-                        F.col("html").isNotNull()
-                    ),
+                    self.fetcher.fetch(
+                        missed_l, size_hint=n_lmiss, stage="listing"
+                    ).where(F.col("html").isNotNull()),
                     self.config.listing,
                 )
                 .join(missed_l.select("url", "host", "depth"), "url")
@@ -639,15 +639,20 @@ class CrawlRunner:
             )
         # chains still alive after this round — gates dead-state writes
         # (host_offsets is session-scoped: once every chain stopped, the
-        # offsets can never be read again)
+        # offsets can never be read again). n_hosts_active is computed from
+        # lres, which already excludes hosts whose listing fetch failed all
+        # attempts (html-NULL rows are dropped before host_round is built) —
+        # so fetch-failed hosts must NOT be subtracted again here, or a
+        # mixed round (some hosts failing, some continuing) clamps to 0 and
+        # skips the offsets roll, corrupting later rounds' field_stats
+        # item indices.
         n_hosts_continuing = max(
             0,
             n_hosts_active
             - sum(
                 int(g[c] or 0)
                 for c in ("stop_all_dup", "stop_max_pages", "stop_no_next")
-            )
-            - n_failed_pages,
+            ),
         )
 
         # ---- content schedule ----------------------------------------------
@@ -742,7 +747,7 @@ class CrawlRunner:
             Failures are ABSENT rows: html-NULL rows from returns_misses
             fetchers are dropped here so both fetcher contracts hit the
             same retry/miss machinery."""
-            fc = self.fetcher.fetch(cand, size_hint=hint).where(
+            fc = self.fetcher.fetch(cand, size_hint=hint, stage="content").where(
                 F.col("html").isNotNull()
             )
             if getattr(self.fetcher, "host_partitioned", False):
@@ -1269,3 +1274,8 @@ class CrawlRunner:
         self._write_session_row(ended=True)
         self.wh.set_prop("summary", self.summary.to_json())
         self.wh.commit("final")
+        # release fetcher resources (bucketed CorpusFetcher keeps its last
+        # staged candidate table + data dir alive until told otherwise)
+        close = getattr(self.fetcher, "close", None)
+        if callable(close):
+            close()

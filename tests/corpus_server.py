@@ -31,6 +31,12 @@ class CorpusHTTPServer:
         self.always_fail = set(always_fail or ())
         self.hits: list[tuple[float, str, str]] = []  # (t, url, host)
         self.counts: Counter = Counter()
+        # concurrency accounting: current and max simultaneous in-flight
+        # requests per host (arrival → response written), so tests can
+        # assert the fetcher's per-host pool bound from the server side
+        self.inflight: Counter = Counter()
+        self.max_inflight: Counter = Counter()
+        self.latency_sec = 0.0  # injected response latency (concurrency tests)
         self._lock = threading.Lock()
         outer = self
 
@@ -41,8 +47,21 @@ class CorpusHTTPServer:
                 with outer._lock:
                     outer.hits.append((time.monotonic(), url, host))
                     outer.counts[url] += 1
+                    outer.inflight[host] += 1
+                    outer.max_inflight[host] = max(
+                        outer.max_inflight[host], outer.inflight[host]
+                    )
                     n_prior = outer.counts[url] - 1
                     transient = n_prior < outer.fail_first.get(url, 0)
+                try:
+                    self._serve(url, transient)
+                finally:
+                    with outer._lock:
+                        outer.inflight[host] -= 1
+
+            def _serve(self, url: str, transient: bool) -> None:
+                if outer.latency_sec:
+                    time.sleep(outer.latency_sec)
                 if url in outer.always_fail or transient:
                     self._respond(500, b"injected failure")
                     return
@@ -85,4 +104,12 @@ class CorpusHTTPServer:
         with self._lock:
             for t, _url, host in self.hits:
                 out.setdefault(host, []).append(t)
+        return out
+
+    def per_host_hits(self) -> dict[str, list[tuple[float, str]]]:
+        """host → [(arrival time, url), ...] in arrival order."""
+        out: dict[str, list[tuple[float, str]]] = {}
+        with self._lock:
+            for t, url, host in self.hits:
+                out.setdefault(host, []).append((t, url))
         return out

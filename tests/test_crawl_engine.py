@@ -271,9 +271,9 @@ class FlakyFetcher:
         self.fail_calls = fail_calls
         self.calls = 0
 
-    def fetch(self, candidates, size_hint=None):
+    def fetch(self, candidates, size_hint=None, stage="content"):
         self.calls += 1
-        out = self.inner.fetch(candidates, size_hint)
+        out = self.inner.fetch(candidates, size_hint, stage=stage)
         if self.calls <= self.fail_calls:
             out = out.where(~F.col("url").isin(self.fail_urls))
         return out
@@ -595,3 +595,77 @@ def test_per_chain_listing_offsets_two_hosts(spark, tmp_path):
     # in-memory session state that vanishes at session end)
     offs = {r.host: r.items_cum for r in wh.read("host_offsets").collect()}
     assert offs == {a: 3, b: 1}
+
+
+def test_offsets_roll_survives_mixed_fetch_failure(spark, tmp_path):
+    """A round where one host's listing page permanently fails while another
+    host continues must still roll host_offsets (round-3 ADVICE, high):
+    fetch-failed hosts are already absent from the active-host count, so
+    the old double-subtraction clamped continuing-hosts to 0, skipped the
+    roll, and later rounds' missing-item indices went stale."""
+
+    def item(url_path, title, with_url=True):
+        link = f'<a class="post-link" href="{url_path}">read</a>' if with_url else ""
+        return (
+            f'<div class="post-item"><span class="post-title">{title}</span>'
+            f'{link}<span class="post-date">2025-03-01</span></div>'
+        )
+
+    def listing(items_html, next_page=None):
+        nxt = (
+            f'<div class="pagination"><a class="next" href="{next_page}">next</a></div>'
+            if next_page
+            else ""
+        )
+        return (
+            '<html><body><div class="post-list">'
+            + "".join(items_html)
+            + f"</div>{nxt}</body></html>"
+        ).encode()
+
+    art = (
+        "<html><body><div id='main'><header><h1>T</h1></header>"
+        "<div class='article-body'><p>Body.</p></div></div></body></html>"
+    ).encode()
+
+    a, b = "a.example.org", "b.example.org"
+    rows = [
+        # host A: p1 stores 2, p2 stores 1, p3 misses url at item pos 2
+        (f"https://{a}/list/1", listing(
+            [item("/p/a0", "A0"), item("/p/a1", "A1")], "/list/2"
+        )),
+        (f"https://{a}/list/2", listing([item("/p/a2", "A2")], "/list/3")),
+        (f"https://{a}/list/3", listing(
+            [item("/p/a3", "A3"), item(None, "A4", with_url=False)]
+        )),
+        # host B: p1 stores 1 and links to /list/2, which is ABSENT from
+        # the corpus -> permanent listing fetch failure in round 2, the
+        # same round host A continues
+        (f"https://{b}/list/1", listing([item("/p/b0", "B0")], "/list/2")),
+    ] + [
+        (f"https://{h}/p/{n}", art)
+        for h, names in ((a, ["a0", "a1", "a2", "a3"]), (b, ["b0"]))
+        for n in names
+    ]
+    corpus = spark.createDataFrame(rows, "url string, html binary")
+    wh = Warehouse(spark, str(tmp_path / "wh_mixed_fail"))
+    runner = CrawlRunner(
+        spark, wh, CorpusFetcher(corpus), SYNTH_SOURCE, CrawlOptions()
+    )
+    runner.seed([f"https://{a}/list/1", f"https://{b}/list/1"])
+    summary = runner.run()
+
+    assert summary.host_stops.get("fetch_error") == 1  # host B died in r2
+    r3 = {
+        r.field_name: r
+        for r in wh.read("field_stats")
+        .where((F.col("stage") == "listing") & (F.col("round") == 3))
+        .collect()
+    }
+    # host A's round-3 miss: its own cumulative offset 3 (p1: 2, p2: 1)
+    # + item pos 2 -> 5. The old clamp-to-zero skip would have left the
+    # round-1 offsets standing and yielded 4.
+    assert sorted(r3["url"].missing_items) == [5]
+    offs = {r.host: r.items_cum for r in wh.read("host_offsets").collect()}
+    assert offs == {a: 3, b: 1}
+

@@ -100,17 +100,24 @@ def test_http_fetcher_parity_and_politeness(spark, tmp_path, corpus_df, url_map)
     seen_b = {r.url_hash for r in wh_b.read("seen_session").collect()}
     assert seen_a == seen_b
 
-    # (b) per-host serialization: consecutive requests to the same host are
-    # separated by at least the politeness delay (server-side arrivals;
-    # small tolerance for clock granularity)
-    by_host = srv.per_host_hit_times()
+    # (b) politeness is LISTING-scoped (reference PaginationHandler.ts:58-63
+    # delays between listing pages only; content fans out concurrently,
+    # ConcurrentContentExtractor.ts:67-168): consecutive *listing* requests
+    # to the same host are separated by at least the delay (server-side
+    # arrivals; small tolerance for clock granularity), and the per-host
+    # in-flight concurrency never exceeded HIGH_PERFORMANCE_LIMIT=8
+    by_host = srv.per_host_hits()
     assert set(by_host) == {f"news-{h}.example.org" for h in range(N_HOSTS)}
-    n_gaps = 0
-    for host, times in by_host.items():
-        gaps = [b - a for a, b in zip(times, times[1:])]
+    n_gaps = n_content = 0
+    for host, hits in by_host.items():
+        ltimes = [t for t, u in hits if "/list/" in u]
+        n_content += sum(1 for _, u in hits if "/list/" not in u)
+        gaps = [b - a for a, b in zip(ltimes, ltimes[1:])]
         n_gaps += len(gaps)
         assert all(g >= DELAY * 0.9 for g in gaps), (host, min(gaps))
-    assert n_gaps > 30  # the crawl really went through the socket
+        assert srv.max_inflight[host] <= 8, (host, srv.max_inflight[host])
+    assert n_gaps >= N_HOSTS  # several listing pages per chain hit the socket
+    assert n_content > 30  # the content crawl really went through the socket
 
 
 def test_http_fetcher_retry_transient_and_permanent(
@@ -163,3 +170,48 @@ def test_http_fetcher_retry_transient_and_permanent(
     assert rows[permanent_url].had_extraction_error
     assert srv.counts[permanent_url] == 3
     assert summary.fetch_retries >= 2
+
+
+def test_content_stage_concurrency_listing_stays_serial(spark, corpus_df, url_map):
+    """Content fetches fan out through the per-host pool (≤8 in flight, no
+    politeness delay — ConcurrentContentExtractor.ts:67-168, constants.ts:
+    16-21); listing fetches stay strictly serial with the delay
+    (PaginationHandler.ts:58-63). Asserted from the server's side via
+    injected response latency + in-flight accounting."""
+    import time as _time
+
+    host0 = "news-0.example.org"
+    content_urls = [u for u in url_map if "/list/" not in u and host0 in u][:16]
+    listing_urls = [u for u in url_map if "/list/" in u and host0 in u][:4]
+    assert len(content_urls) >= 8 and len(listing_urls) >= 3
+
+    srv = CorpusHTTPServer(url_map).start()
+    srv.latency_sec = 0.15
+    fetcher = HttpFetcher(timeout_sec=10.0, delay_sec=0.1, gateway=srv.gateway)
+    try:
+        cdf = spark.createDataFrame(
+            [(u, host0) for u in content_urls], "url string, host string"
+        )
+        t0 = _time.monotonic()
+        out = fetcher.fetch(cdf, stage="content").collect()
+        content_wall = _time.monotonic() - t0
+        assert len(out) == len(content_urls)
+        assert all(r.html is not None for r in out)
+        # 8-way pool over 16 urls at 0.15 s latency ≈ 2 waves ≈ 0.3 s;
+        # serial would be ≥ 2.4 s (+ delays). Generous bound: < 60% serial.
+        assert content_wall < 0.6 * len(content_urls) * srv.latency_sec, content_wall
+        assert 2 <= srv.max_inflight[host0] <= 8, srv.max_inflight[host0]
+
+        # listing stage: serial + delayed, never overlapping
+        srv.max_inflight.clear()
+        ldf = spark.createDataFrame(
+            [(u, host0) for u in listing_urls], "url string, host string"
+        )
+        lout = fetcher.fetch(ldf, stage="listing").collect()
+        assert all(r.html is not None for r in lout)
+        assert srv.max_inflight[host0] == 1
+        ltimes = sorted(t for t, u in srv.per_host_hits()[host0] if "/list/" in u)
+        gaps = [b - a for a, b in zip(ltimes, ltimes[1:])]
+        assert gaps and all(g >= fetcher.delay_sec * 0.9 for g in gaps), gaps
+    finally:
+        srv.stop()
