@@ -232,6 +232,30 @@ class Warehouse:
     def read_rows(self, table: str) -> list[dict]:
         return list(self._rows().get(table, []))
 
+    def is_row_table(self, table: str) -> bool:
+        """True when the table currently lives in the manifest row tier
+        (committed or staged) — readers/writers use this to route."""
+        return table in self._rows()
+
+    def replace_rows(self, table: str, rows: list[dict]) -> None:
+        """Replace a manifest row table wholesale — driver-side, zero Spark
+        jobs; visible after commit(). Also claims the name from the parquet
+        tier (any previously-registered data dirs are dropped from the
+        snapshot), so a session-scoped reset migrates a legacy parquet
+        table to the row tier in one call."""
+        self._begin()
+        conv = [
+            {
+                k: (v.isoformat() if isinstance(v, datetime) else v)
+                for k, v in r.items()
+            }
+            for r in rows
+        ]
+        with self._lock:
+            self._staged_rows[table] = conv
+            if self._staged.get(table):
+                self._staged[table] = []
+
     def _rows_df(self, table: str, schema: StructType | None) -> DataFrame:
         schema = schema or self.ROW_TABLE_SCHEMAS[table]
         out = []
@@ -388,7 +412,13 @@ class Warehouse:
             self._staged.setdefault(table, []).append(d)
         return d
 
-    def replace(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+    def replace(
+        self,
+        table: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        force_parquet: bool = False,
+    ) -> None:
         """Stage a full replace (copy-on-write); visible after commit().
 
         With Iceberg this would be MERGE / dynamic-partition overwrite; on a
@@ -397,10 +427,15 @@ class Warehouse:
         to seen/pages (it shrinks every round), so CoW is the right shape.
 
         Replacing a ROW table (e.g. an admin delete over sessions) collects
-        the DataFrame — metadata-sized by construction.
+        the DataFrame — metadata-sized by construction. ``force_parquet``
+        pins a dual-tier table (host_offsets) to the distributed parquet
+        tier, evicting any manifest-row copy of it.
         """
         self._begin()
-        if table in self._staged_rows or table in self.ROW_TABLE_SCHEMAS:
+        if force_parquet:
+            with self._lock:
+                self._staged_rows.pop(table, None)
+        elif table in self._staged_rows or table in self.ROW_TABLE_SCHEMAS:
             rows = []
             for r in df.collect():
                 d = r.asDict()

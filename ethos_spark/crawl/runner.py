@@ -40,6 +40,10 @@ from ethos_spark.sources.config import SourceConfig
 # cap per error-message category per session: the lists live in the session
 # row (manifest metadata) and must stay metadata-sized at any corpus scale
 MAX_ERROR_MESSAGES = 100
+# chains at/below this count keep host_offsets in the manifest row tier
+# (driver map, zero Spark jobs per round); above it, the parquet replace
+# tier (fully distributed) — see seed() for the rationale
+OFFSETS_ROW_TIER_MAX_CHAINS = 10_000
 
 
 @dataclass
@@ -235,12 +239,24 @@ class CrawlRunner:
         for t, s in [
             ("seen_session", schemas.SEEN),
             ("host_state", "host string, pages_processed long, stopped_reason string"),
-            # per-chain itemsProcessed offsets are SESSION state in the
-            # reference (MetadataTracker builds fieldStats fresh per
-            # session) — reset on seed, preserved on resume
-            ("host_offsets", schemas.HOST_OFFSETS),
         ]:
             self.wh.replace(t, self.spark.createDataFrame([], s))
+        # per-chain itemsProcessed offsets are SESSION state in the
+        # reference (MetadataTracker builds fieldStats fresh per session) —
+        # reset on seed, preserved on resume. Tier choice: one chain = one
+        # configured source in the reference, so the offsets are
+        # metadata-sized by construction → manifest row table (zero Spark
+        # jobs per round). The parquet tier remains for synthetic
+        # extreme fan-out (e.g. the 240k-chain scaling workload), where a
+        # driver-held map per round would serialize a multi-MB manifest.
+        if len(urls) <= OFFSETS_ROW_TIER_MAX_CHAINS:
+            self.wh.replace_rows("host_offsets", [])
+        else:
+            self.wh.replace(
+                "host_offsets",
+                self.spark.createDataFrame([], schemas.HOST_OFFSETS),
+                force_parquet=True,
+            )
         self.wh.set_prop("session_id", self.session_id)
         self.wh.set_prop("round", "0")
         self.wh.set_prop("order_offset", "0")
@@ -732,10 +748,25 @@ class CrawlRunner:
         cleanup: list = []
         tick("build content plan")
         total_out: list = []
+        # size the range-partitioning to the known upper bound on this
+        # round's candidate count (items found + carried content) — the
+        # order stamp is two jobs over LIGHT keys, so at small rounds the
+        # fixed cost is pure task overhead (64 tasks for 5k rows); at
+        # multi-million-row rounds the ~20k-rows/partition floor keeps the
+        # sort partition-local and the count vector driver-tiny
+        n_cand_hint = n_page_items + (carry_hint or 0)
+        order_parts = max(
+            1,
+            min(
+                self.spark.sparkContext.defaultParallelism * 2,
+                -(-n_cand_hint // 20_000),  # ceil div
+            ),
+        )
         ordered_light = assign_sequential_order(
             allowed.select("url_hash", "depth", "host", "listing_order"),
             ["depth", "host", "listing_order", "url_hash"],
             offset=offset,
+            n_parts=order_parts,
             cleanup=cleanup,
             total_out=total_out,
         )
@@ -809,97 +840,93 @@ class CrawlRunner:
         # slim the broadcast payload to the columns the pages rows need —
         # the frontier row is 16 columns wide and broadcast-relation build
         # time is serial driver cost proportional to broadcast bytes
-        allowed_slim = allowed.select(
-            "url", "url_hash", "host", "host_hash",
-            "title", "author", "published_date",
-        )
-        pages_dir, n_written, n_errors = _append_pages(
-            _content_pass(allowed_slim, content_hint)
-        )
-        written_dirs = [pages_dir]
-        tick("fetch+extract+write pages")
-
-        # in-round content retry: misses (n_allowed known from the ordering
-        # counts, n_written from the write observation — zero extra jobs in
-        # the no-failure case) are refetched up to max_fetch_attempts
-        attempt = 1
-        while _retryable and n_written < n_allowed and attempt < opt.max_fetch_attempts:
-            attempt += 1
-            self.summary.fetch_retries += 1
-            if opt.retry_backoff_sec:
-                time.sleep(opt.retry_backoff_sec)
-            done_hashes = spark.read.parquet(*written_dirs).select("url_hash")
-            miss_cand = allowed_slim.join(done_hashes, "url_hash", "left_anti")
-            d, n_got, n_err_got = _append_pages(
-                _content_pass(miss_cand, n_allowed - n_written)
+        def _heavy_pass() -> tuple[list, object, int, int]:
+            """fetch+extract+write pages (+ in-round retries, deferred
+            miss rows). Runs in the DRIVER thread while the listing-side
+            lineage writes (phase A) proceed concurrently in the pool —
+            they share no inputs with the content pass."""
+            allowed_slim = allowed.select(
+                "url", "url_hash", "host", "host_hash",
+                "title", "author", "published_date",
             )
-            written_dirs.append(d)
-            n_written += n_got
-            n_errors += n_err_got
+            pages_dir, n_written, n_errors = _append_pages(
+                _content_pass(allowed_slim, content_hint)
+            )
+            written_dirs = [pages_dir]
+            tick("fetch+extract+write pages")
 
-        # retry-exhausted misses: stored with an extraction-error flag,
-        # exactly like the reference's failed content loads
-        # (ContentPageExtractor failure → updateItemMetadata → stored with
-        # hadContentExtractionError). The write itself is DEFERRED into the
-        # parallel write pool below — it only has to finish before the
-        # stored-derived lineage reads start (two-phase pool).
-        missed_out = None
-        if n_written < n_allowed:
-            done_hashes = spark.read.parquet(*written_dirs).select("url_hash")
-            missed = (
-                allowed_slim.join(done_hashes, "url_hash", "left_anti")
-                .join(_maybe_broadcast(order_map), "url_hash")
-                .select(
-                    F.xxhash64("url_hash").alias("id"),
-                    F.sha1(F.col("url")).alias("hash"),
-                    F.lit(self.config.id).alias("source"),
-                    "url",
-                    "url_hash",
-                    "host",
-                    "host_hash",
-                    F.col("title"),
-                    F.col("author"),
-                    "published_date",
-                    F.lit(None).cast("string").alias("content"),
-                    F.lit(self.start_time).alias("crawled_at"),
-                    F.lit(self.start_time).alias("created_at"),
-                    F.lit(True).alias("had_extraction_error"),
-                    "processed_order",
-                    F.lit(-1).alias("partition_id"),
-                    F.lit(0.0).alias("fetch_ms"),
-                    F.lit(0.0).alias("parse_ms"),
-                    (
-                        F.array([F.lit(n) for n in content_field_names])
-                        if content_field_names
-                        else F.lit(None).cast("array<string>")
-                    ).alias("failed_fields"),
-                    # reference catch-path message shape,
-                    # ContentPageExtractor.ts:180-186
-                    F.array(
-                        F.concat(
-                            F.lit("Failed to extract content data for "),
-                            F.col("url"),
-                            F.lit(
-                                f" : fetch failed after "
-                                f"{opt.max_fetch_attempts} attempts"
-                            ),
-                        )
-                    ).alias("extraction_errors"),
+            # in-round content retry: misses (n_allowed known from the ordering
+            # counts, n_written from the write observation — zero extra jobs in
+            # the no-failure case) are refetched up to max_fetch_attempts
+            attempt = 1
+            while _retryable and n_written < n_allowed and attempt < opt.max_fetch_attempts:
+                attempt += 1
+                self.summary.fetch_retries += 1
+                if opt.retry_backoff_sec:
+                    time.sleep(opt.retry_backoff_sec)
+                done_hashes = spark.read.parquet(*written_dirs).select("url_hash")
+                miss_cand = allowed_slim.join(done_hashes, "url_hash", "left_anti")
+                d, n_got, n_err_got = _append_pages(
+                    _content_pass(miss_cand, n_allowed - n_written)
                 )
-            )
-            missed_out = missed.select(*schemas.PAGES_OUT.names)
-            n_errors += n_allowed - n_written
-            n_written = n_allowed
-        n_stored = n_written
-        n_blocked = blocked.count() if self.robots is not None else 0
-        tick("fetch-miss reconcile")
+                written_dirs.append(d)
+                n_written += n_got
+                n_errors += n_err_got
 
-        self.summary.contents_crawled += n_stored
-        self.summary.items_processed += n_stored
-        self.summary.items_with_errors += n_errors
-        self.summary.robots_blocked += n_blocked
-        if n_hosts_active or n_stored or n_blocked:
-            self.summary.rounds = r  # terminating no-op round not counted
+            # retry-exhausted misses: stored with an extraction-error flag,
+            # exactly like the reference's failed content loads
+            # (ContentPageExtractor failure → updateItemMetadata → stored with
+            # hadContentExtractionError). The write itself is DEFERRED into the
+            # parallel write pool below — it only has to finish before the
+            # stored-derived lineage reads start (two-phase pool).
+            missed_out = None
+            if n_written < n_allowed:
+                done_hashes = spark.read.parquet(*written_dirs).select("url_hash")
+                missed = (
+                    allowed_slim.join(done_hashes, "url_hash", "left_anti")
+                    .join(_maybe_broadcast(order_map), "url_hash")
+                    .select(
+                        F.xxhash64("url_hash").alias("id"),
+                        F.sha1(F.col("url")).alias("hash"),
+                        F.lit(self.config.id).alias("source"),
+                        "url",
+                        "url_hash",
+                        "host",
+                        "host_hash",
+                        F.col("title"),
+                        F.col("author"),
+                        "published_date",
+                        F.lit(None).cast("string").alias("content"),
+                        F.lit(self.start_time).alias("crawled_at"),
+                        F.lit(self.start_time).alias("created_at"),
+                        F.lit(True).alias("had_extraction_error"),
+                        "processed_order",
+                        F.lit(-1).alias("partition_id"),
+                        F.lit(0.0).alias("fetch_ms"),
+                        F.lit(0.0).alias("parse_ms"),
+                        (
+                            F.array([F.lit(n) for n in content_field_names])
+                            if content_field_names
+                            else F.lit(None).cast("array<string>")
+                        ).alias("failed_fields"),
+                        # reference catch-path message shape,
+                        # ContentPageExtractor.ts:180-186
+                        F.array(
+                            F.concat(
+                                F.lit("Failed to extract content data for "),
+                                F.col("url"),
+                                F.lit(
+                                    f" : fetch failed after "
+                                    f"{opt.max_fetch_attempts} attempts"
+                                ),
+                            )
+                        ).alias("extraction_errors"),
+                    )
+                )
+                missed_out = missed.select(*schemas.PAGES_OUT.names)
+                n_errors += n_allowed - n_written
+                n_written = n_allowed
+            return written_dirs, missed_out, n_written, n_errors
 
         # ---- lineage writes (pruned scans of the round's files) -------------
         # the stored-derived jobs are built by a closure so they can be
@@ -1122,6 +1149,20 @@ class CrawlRunner:
             fut_frontier = ex.submit(
                 self.wh.replace, "frontier_pending", observed_pending
             )
+            # heavy pass runs on the driver thread, overlapped with the
+            # phase-A writes above (they derive purely from the listing
+            # side) — at bench scale this hides ~2 s of light-job latency
+            # behind the content fetch/extract/write
+            written_dirs, missed_out, n_stored, n_errors = _heavy_pass()
+            n_blocked = blocked.count() if self.robots is not None else 0
+            tick("fetch+extract+write pages (listing writes overlapped)")
+
+            self.summary.contents_crawled += n_stored
+            self.summary.items_processed += n_stored
+            self.summary.items_with_errors += n_errors
+            self.summary.robots_blocked += n_blocked
+            if n_hosts_active or n_stored or n_blocked:
+                self.summary.rounds = r  # terminating no-op round not counted
             fut_miss = (
                 ex.submit(self.wh.append, "pages", missed_out)
                 if missed_out is not None
@@ -1141,18 +1182,52 @@ class CrawlRunner:
             # interrupted sessions still write because their hosts count
             # as continuing)
             if n_hosts_continuing > 0:
-                new_offsets = (
-                    prev_offsets.unionByName(
-                        stored.groupBy("host").agg(
-                            F.count("*").alias("items_cum")
+                if self.wh.is_row_table("host_offsets"):
+                    # row tier: one tiny collect of per-host counts off the
+                    # just-written (column-pruned) pages slice, folded into
+                    # the manifest map — no parquet write, no read job next
+                    # round (VERDICT r3 item 2)
+                    def _roll_offsets_rows() -> None:
+                        cur = {
+                            r["host"]: int(r["items_cum"] or 0)
+                            for r in self.wh.read_rows("host_offsets")
+                        }
+                        for row in (
+                            stored.groupBy("host")
+                            .agg(F.count("*").alias("c"))
+                            .collect()
+                        ):
+                            cur[row["host"]] = cur.get(row["host"], 0) + int(
+                                row["c"]
+                            )
+                        self.wh.replace_rows(
+                            "host_offsets",
+                            [
+                                {"host": h, "items_cum": c}
+                                for h, c in cur.items()
+                            ],
+                        )
+
+                    futs.append(ex.submit(_roll_offsets_rows))
+                else:
+                    new_offsets = (
+                        prev_offsets.unionByName(
+                            stored.groupBy("host").agg(
+                                F.count("*").alias("items_cum")
+                            )
+                        )
+                        .groupBy("host")
+                        .agg(F.sum("items_cum").alias("items_cum"))
+                    )
+                    futs.append(
+                        ex.submit(
+                            self.wh.replace,
+                            "host_offsets",
+                            new_offsets,
+                            None,
+                            True,  # force_parquet: stay in the big tier
                         )
                     )
-                    .groupBy("host")
-                    .agg(F.sum("items_cum").alias("items_cum"))
-                )
-                futs.append(
-                    ex.submit(self.wh.replace, "host_offsets", new_offsets)
-                )
             fut_frontier.result()
             for f in futs:
                 f.result()

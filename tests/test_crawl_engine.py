@@ -669,3 +669,65 @@ def test_offsets_roll_survives_mixed_fetch_failure(spark, tmp_path):
     offs = {r.host: r.items_cum for r in wh.read("host_offsets").collect()}
     assert offs == {a: 3, b: 1}
 
+
+def test_offsets_parquet_tier_equivalence(spark, tmp_path, monkeypatch):
+    """Above OFFSETS_ROW_TIER_MAX_CHAINS chains the offsets table stays in
+    the distributed parquet tier (force_parquet); both tiers must yield
+    identical field-stats indices and final counter values."""
+    import ethos_spark.crawl.runner as runner_mod
+
+    def item(url_path, title, with_url=True):
+        link = f'<a class="post-link" href="{url_path}">read</a>' if with_url else ""
+        return (
+            f'<div class="post-item"><span class="post-title">{title}</span>'
+            f'{link}<span class="post-date">2025-03-01</span></div>'
+        )
+
+    def listing(items_html, next_page=None):
+        nxt = (
+            f'<div class="pagination"><a class="next" href="{next_page}">next</a></div>'
+            if next_page
+            else ""
+        )
+        return (
+            '<html><body><div class="post-list">'
+            + "".join(items_html)
+            + f"</div>{nxt}</body></html>"
+        ).encode()
+
+    art = (
+        "<html><body><div id='main'><header><h1>T</h1></header>"
+        "<div class='article-body'><p>Body.</p></div></div></body></html>"
+    ).encode()
+    a = "a.example.org"
+    rows = [
+        (f"https://{a}/list/1", listing(
+            [item("/p/a0", "A0"), item("/p/a1", "A1")], "/list/2"
+        )),
+        (f"https://{a}/list/2", listing(
+            [item("/p/a2", "A2"), item(None, "A3", with_url=False)]
+        )),
+        (f"https://{a}/p/a0", art), (f"https://{a}/p/a1", art),
+        (f"https://{a}/p/a2", art),
+    ]
+    corpus = spark.createDataFrame(rows, "url string, html binary")
+
+    results = {}
+    for tier, maxc in (("rows", 10_000), ("parquet", 0)):
+        monkeypatch.setattr(runner_mod, "OFFSETS_ROW_TIER_MAX_CHAINS", maxc)
+        wh = Warehouse(spark, str(tmp_path / f"wh_tier_{tier}"))
+        r = CrawlRunner(
+            spark, wh, CorpusFetcher(corpus), SYNTH_SOURCE, CrawlOptions()
+        )
+        r.seed([f"https://{a}/list/1"])
+        r.run()
+        assert wh.is_row_table("host_offsets") == (tier == "rows")
+        r2 = {
+            x.field_name: x
+            for x in wh.read("field_stats")
+            .where((F.col("stage") == "listing") & (F.col("round") == 2))
+            .collect()
+        }
+        results[tier] = sorted(r2["url"].missing_items)
+    # A's p1 stored 2 -> round-2 miss at item pos 2 -> index 4, both tiers
+    assert results["rows"] == results["parquet"] == [4]
