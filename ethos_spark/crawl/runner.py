@@ -1331,9 +1331,13 @@ class CrawlRunner:
                     F.coalesce(
                         F.array_join("extraction_errors", ", "), F.lit("")
                     ),
-                ).alias("m")
+                ).alias("m"),
+                "processed_order",
             )
-            .sort("m")
+            # PROCESSING order, not message order: the reference's
+            # contentErrors list preserves insertion order, which also
+            # decides WHICH messages survive the cap (round-3 ADVICE)
+            .sort("processed_order")
             .limit(MAX_ERROR_MESSAGES)
             .collect()
         )

@@ -23,19 +23,24 @@ this container). Behaviors mirrored exactly:
 from __future__ import annotations
 
 import re
-from html import escape
+from html import escape, unescape
+from urllib.parse import quote
 
 from ethos_spark.functions.mdrender import markdown_to_html
 
-_TAG_RE = re.compile(r"<[^>]+>")
+# HTML5 tag-open only starts at <letter, </ or <! — a bare "<" followed by
+# anything else (e.g. "1 < 2") is TEXT and survives textContent
+_TAG_RE = re.compile(r"<[a-zA-Z/!][^>]*>")
 
 
 def preview_250(md: str | None, limit: int = 250) -> str:
     """Reference listing preview (listing-handler.ts:82-92): render the
-    markdown, take DOM textContent (tags stripped, whitespace kept),
-    substring(0, 250), trim, append "..." unconditionally."""
+    markdown, take DOM textContent (tags stripped, entities DECODED — jsdom
+    textContent yields plain text, so '&amp;' comes back as '&'; the
+    listing template then re-escapes it exactly once), substring(0, 250),
+    trim, append "..." unconditionally."""
     html = markdown_to_html(md) or ""
-    text = _TAG_RE.sub("", html)
+    text = unescape(_TAG_RE.sub("", html))
     return text[:limit].strip() + "..."
 
 
@@ -52,21 +57,71 @@ def _fmt_date(iso: str | None) -> str | None:
 
 
 def _article_url(hash_: str, page: int, source: str | None) -> str:
-    url = f"/{hash_}"
+    # user-controlled params are percent-encoded before embedding in href
+    # attributes (the reference's pug a(href=...) escapes attribute values;
+    # raw interpolation here was a reflected-XSS vector via ?source=)
+    url = f"/{quote(hash_, safe='')}"
     params = []
     if page > 1:
         params.append(f"page={page}")
     if source:
-        params.append(f"source={source}")
+        params.append(f"source={quote(source, safe='')}")
     return url + ("?" + "&".join(params) if params else "")
 
 
 def _page_href(page: int, source: str | None) -> str:
-    return f"/?page={page}" + (f"&source={source}" if source else "")
+    return f"/?page={page}" + (
+        f"&source={quote(source, safe='')}" if source else ""
+    )
 
+
+# Classless, pico-style stylesheet inlined in <head> exactly like the
+# reference (views/listing.ts:16 `style!= PicoCSS`, pico.classless.min.ts —
+# Pico CSS v2 classless build). Handwritten compact stand-in covering the
+# semantic elements these views emit (nav/article/select/button/small),
+# with Pico's azure primary, spacing scale and automatic dark scheme — not
+# a copy of the minified distribution.
+PICO_STYLE = """:root{--p-bg:#fff;--p-fg:#373c44;--p-h:#2d3138;
+--p-muted:#646b79;--p-primary:#0172ad;--p-primary-hover:#015887;
+--p-card:#fff;--p-border:#e7eaf0;--p-radius:.25rem;
+font-size:100%;font-family:system-ui,"Segoe UI",Roboto,Oxygen,Ubuntu,
+Cantarell,Helvetica,Arial,"Helvetica Neue",sans-serif}
+@media (prefers-color-scheme:dark){:root{--p-bg:#13171f;--p-fg:#c2c7d0;
+--p-h:#f0f1f3;--p-muted:#8891a4;--p-primary:#01aaff;
+--p-primary-hover:#79c0ff;--p-card:#181c25;--p-border:#202632}}
+*,::after,::before{box-sizing:border-box}
+body{margin:0;padding:0 1rem;background:var(--p-bg);color:var(--p-fg);
+line-height:1.5;font-weight:400}
+h1,h2,h3{color:var(--p-h);font-weight:700;line-height:1.2;
+margin:1rem 0 .5rem}
+h1{font-size:2rem}h3{font-size:1.25rem}
+a{color:var(--p-primary);text-decoration:underline;
+text-underline-offset:.1rem}
+a:hover{color:var(--p-primary-hover)}
+small{color:var(--p-muted);font-size:.875em}
+header>nav ul{display:flex;list-style:none;margin:0;padding:.5rem 0}
+header>nav a{text-decoration:none}
+nav[role=navigation] ul{display:flex;gap:1rem;list-style:none;
+justify-content:center;padding:1rem 0}
+article{background:var(--p-card);border:1px solid var(--p-border);
+border-radius:var(--p-radius);padding:1rem;margin:1rem 0;
+box-shadow:0 1px 2px rgba(0,0,0,.04)}
+article h3{margin-top:0}
+div[role=group]{display:flex;justify-content:space-between;gap:1rem}
+select{appearance:none;width:100%;max-width:20rem;padding:.5rem 1rem;
+margin:.25rem 0 1rem;border:1px solid var(--p-border);
+border-radius:var(--p-radius);background:var(--p-card);
+color:var(--p-fg);font-size:1rem}
+label{display:block;color:var(--p-muted);margin-bottom:.25rem}
+a[role=button]{display:inline-block;background:var(--p-primary);
+color:#fff;padding:.5rem 1rem;border-radius:var(--p-radius);
+text-decoration:none;font-weight:600}
+a[role=button]:hover{background:var(--p-primary-hover);color:#fff}
+main>div>p{color:var(--p-muted)}"""
 
 _SHELL = (
-    "<!DOCTYPE html><html><head><title>Ethos - {title}</title></head>"
+    "<!DOCTYPE html><html><head><title>Ethos - {title}</title>"
+    "<style>{style}</style></head>"
     '<body style="max-width: 1152px;margin: auto;">'
     '<header><nav><ul><li><strong><a href="{home}" aria-label="Home">'
     "{home_label}</a></strong></li></ul></nav></header><main>{main}</main>"
@@ -145,6 +200,7 @@ def render_listing(
     else:
         body = "<div><p>No publications found.</p></div>"
     return _SHELL.format(
+        style=PICO_STYLE,
         title="Publications",
         home="/",
         home_label="Ethos",
@@ -160,7 +216,7 @@ def render_detail(publication: dict, page: int | None, source: str | None) -> st
     if page:
         params.append(f"page={page}")
     if source:
-        params.append(f"source={source}")
+        params.append(f"source={quote(source, safe='')}")  # XSS-safe href
     if params:
         back += "?" + "&".join(params)
     pub_date = _fmt_date(publication["publishedDate"])
@@ -186,6 +242,7 @@ def render_detail(publication: dict, page: int | None, source: str | None) -> st
         "</article>"
     )
     return _SHELL.format(
+        style=PICO_STYLE,
         title=escape(publication["title"] or ""),
         home=back,
         home_label="← Back to Publications",
