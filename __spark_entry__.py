@@ -834,11 +834,14 @@ FROM reach GROUP BY src ORDER BY doc_id
             -- sample_id order is alphabetical by true language; any
             -- misprediction on the held-out paragraphs hash-mismatches
             SELECT * FROM (VALUES
-                (0::int, 'da', 'da'), (1::int, 'de', 'de'),
-                (2::int, 'en', 'en'), (3::int, 'es', 'es'),
-                (4::int, 'fr', 'fr'), (5::int, 'it', 'it'),
-                (6::int, 'nl', 'nl'), (7::int, 'pl', 'pl'),
-                (8::int, 'pt', 'pt'), (9::int, 'sv', 'sv')
+                (0::int, 'ar', 'ar'), (1::int, 'da', 'da'),
+                (2::int, 'de', 'de'), (3::int, 'en', 'en'),
+                (4::int, 'es', 'es'), (5::int, 'fr', 'fr'),
+                (6::int, 'it', 'it'), (7::int, 'ja', 'ja'),
+                (8::int, 'ko', 'ko'), (9::int, 'nl', 'nl'),
+                (10::int, 'pl', 'pl'), (11::int, 'pt', 'pt'),
+                (12::int, 'ru', 'ru'), (13::int, 'sv', 'sv'),
+                (14::int, 'zh', 'zh')
             ) AS t(sample_id, lang_true, lang_ct)
             ORDER BY sample_id
         """,

@@ -209,6 +209,30 @@ def test_cavnar_trenkle_langid():
     assert classify("12345 67890 !!!") is None
 
 
+def test_langid_batch_equals_scalar_and_nonlatin_coverage():
+    """classify_batch (vectorized profile match, VERDICT r3 item 8) is
+    result-identical to the scalar kernel, and the profile set now covers
+    the non-Latin scripts (item 3) — all 15 held-out paragraphs correct,
+    including zh/ja/ru/ar/ko."""
+    from ethos_spark.ops.langid import (
+        HELD_OUT_SAMPLES,
+        LANG_SAMPLES,
+        classify,
+        classify_batch,
+    )
+
+    assert {"zh", "ja", "ru", "ar", "ko"} <= set(LANG_SAMPLES)
+    for lang in ("zh", "ja", "ru", "ar", "ko"):
+        assert classify(HELD_OUT_SAMPLES[lang]) == lang, lang
+    cases = (
+        list(HELD_OUT_SAMPLES.values())
+        + list(LANG_SAMPLES.values())
+        + [None, "", "12345 !!!", "mixed text avec des mots und wörter",
+           "漢字とひらがなの混在テキスト with english words"]
+    )
+    assert classify_batch(cases) == [classify(t) for t in cases]
+
+
 def test_cavnar_trenkle_spark_udf():
     """Arrow-batched UDF path returns the same labels as the pure kernel."""
     from ethos_spark.ops.langid import HELD_OUT_SAMPLES, predict_lang_ct
