@@ -179,6 +179,78 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     )
 
 
+_MAX_SALTS = 64  # cap the per-doc replication factor in pathological buckets
+
+
+def _salted_bucket_pairs(buckets: DataFrame, max_bucket: int) -> DataFrame:
+    """Candidate pairs from LSH buckets with the wide buckets salted.
+
+    Narrow buckets (width ≤ max_bucket) self-join directly. A wide bucket
+    of width w is split into S = ceil(w/max_bucket) (≤ ``_MAX_SALTS``)
+    salt groups on pmod(xxhash64(doc_id), S); each doc fans out to the S
+    triangle cells (min(i,salt), max(i,salt)), and the self-join runs on
+    (band, sig, cell) so no single task ever holds more than ~2·max_bucket
+    rows of one bucket. Pair uniqueness per bucket: diagonal cells emit
+    only same-salt pairs, off-diagonal cells only cross-salt pairs — every
+    unordered pair lands in exactly one cell."""
+    widths = buckets.groupBy("band", "sig").agg(F.count("*").alias("w"))
+    bw = buckets.join(widths, ["band", "sig"])
+
+    def _pairs(side: DataFrame, join_cols: list[str], extra) -> DataFrame:
+        a, b = side.alias("a"), side.alias("b")
+        cond = (F.col("a.doc_id") < F.col("b.doc_id")) & extra
+        for c in join_cols:
+            cond &= F.col(f"a.{c}") == F.col(f"b.{c}")
+        return a.join(b, cond).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+
+    narrow = _pairs(
+        bw.where(F.col("w") <= max_bucket).select("band", "sig", "doc_id"),
+        ["band", "sig"],
+        F.lit(True),
+    )
+    n_salts = F.least(
+        F.ceil(F.col("w") / F.lit(max_bucket)).cast("int"), F.lit(_MAX_SALTS)
+    )
+    salted = (
+        bw.where(F.col("w") > max_bucket)
+        .withColumn("salt", F.pmod(F.xxhash64("doc_id"), n_salts).cast("int"))
+        .select(
+            "band",
+            "sig",
+            "doc_id",
+            "salt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_salts - 1),
+                    lambda i: F.struct(
+                        F.least(i, F.col("salt")).alias("ci"),
+                        F.greatest(i, F.col("salt")).alias("cj"),
+                    ),
+                )
+            ).alias("cell"),
+        )
+        .select(
+            "band", "sig", "doc_id", "salt",
+            F.col("cell.ci").alias("ci"), F.col("cell.cj").alias("cj"),
+        )
+        # the S cells {(min(i,salt), max(i,salt))} are pairwise distinct
+        # per doc (i sweeps 0..S-1 once), so no dedup shuffle is needed
+    )
+    wide = _pairs(
+        salted,
+        ["band", "sig", "ci", "cj"],
+        # diagonal cell: same-salt pairs; off-diagonal: cross-salt only
+        F.when(
+            F.col("a.ci") == F.col("a.cj"),
+            F.col("a.salt") == F.col("b.salt"),
+        ).otherwise(F.col("a.salt") != F.col("b.salt")),
+    )
+    return narrow.unionByName(wide).distinct()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -191,12 +263,19 @@ def minhash_lsh_pairs(
     Output identical to ``ngram_jaccard_pairs`` whenever LSH recall is 1 —
     which the band sizing guarantees up to ~1e-7 per pair at J ≥ 0.6.
 
-    ``max_bucket``: optional cap that drops LSH buckets wider than this
-    (skew guard for web-scale boilerplate clusters — a bucket of B docs
-    yields B² candidate pairs). Off by default: dropping a bucket drops
-    recall for every pair inside it, so enable it only when the B² blowup
-    is the greater evil and dedup of a boilerplate cluster can rely on the
-    exact-dedup pass instead.
+    ``max_bucket``: skew guard for web-scale boilerplate clusters — a
+    bucket of B docs yields B² candidate pairs, and the plain self-join
+    puts all of them in ONE task. Buckets wider than this are routed
+    through a SALTED TWO-STAGE pair generation instead (round-3 VERDICT
+    item 7; the old behavior dropped wide buckets and lost their recall):
+    each wide bucket is split into S = ceil(w / max_bucket) salt groups by
+    doc-id hash, every doc is replicated to the S triangle cells (i, j)
+    touching its group, and pairs are generated per cell — within-group
+    pairs on the diagonal cell only, cross-group pairs where the salts
+    differ. Every pair of the bucket is still produced exactly once
+    (recall 1.0, pytest pins equality with the unsalted plan), but the B²
+    work is spread over S(S+1)/2 cells of ≈max_bucket² pairs each. Off by
+    default (None): small corpora don't need the extra width join.
 
     Shuffle-lean shape (the sf0.1 bench was stage-latency-bound at ~13
     shuffles): ONE groupBy builds each doc's shingle SET + minhash sig
@@ -243,26 +322,23 @@ def minhash_lsh_pairs(
     buckets = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
-    if max_bucket is not None:
-        buckets = buckets.join(
-            buckets.groupBy("band", "sig")
-            .agg(F.count("*").alias("w"))
-            .where(F.col("w") <= max_bucket)
-            .select("band", "sig"),
-            ["band", "sig"],
+    if max_bucket is None:
+        a, b2 = buckets.alias("a"), buckets.alias("b")
+        candidates = (
+            a.join(
+                b2,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig")),
+            )
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
         )
-    a, b2 = buckets.alias("a"), buckets.alias("b")
-    candidates = (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")),
-        )
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    else:
+        candidates = _salted_bucket_pairs(buckets, max_bucket)
     # exact verify only the candidates: join each side's shingle set back
     # on and compute Jaccard JVM-side (|A∩B| via array_intersect) — same
     # values as the shingle-join formulation, 6 fewer shuffles
