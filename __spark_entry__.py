@@ -362,10 +362,27 @@ def similarity_lsh_recall(spark, sf):
 def similarity_ivf_recall(spark, sf):
     """Second ANN scale path: IVF (deterministic k-means coarse quantizer,
     nprobe list probing) recall@10 vs exact top-k on cluster-structured
-    vectors, computed in-Spark. Oracle asserts the stable outcome."""
+    vectors, computed in-Spark. Oracle asserts the stable outcome.
+
+    The coarse quantizer goes through CentroidStore (round-3 VERDICT item
+    5): first call per corpus snapshot trains k-means and persists the
+    centroids; every later call — the bench re-run, repeated correctness
+    invocations — loads them with ZERO k-means Spark jobs."""
+    import os
+    import tempfile
+
     emb = sim.with_cluster_structure(_t(spark, sf, "embeddings"))
     qids = list(range(20))
-    ann = sim.ivf_ann_topk(emb, qids, k=10, n_clusters=16, nprobe=4)
+    store = sim.CentroidStore(
+        os.path.join(tempfile.gettempdir(), "ethos-centroid-store")
+    )
+    cents = sim.ivf_centroids(
+        emb, snapshot_key=f"{sf}:cluster-structured-v1", n_clusters=16,
+        store=store,
+    )
+    ann = sim.ivf_ann_topk(
+        emb, qids, k=10, n_clusters=16, nprobe=4, centroids=cents
+    )
     return sim.ann_recall_check(emb, qids, ann, k=10, min_recall=0.8)
 
 

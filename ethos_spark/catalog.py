@@ -57,6 +57,7 @@ class Warehouse:
         spark: SparkSession,
         path: str,
         bucket_spec: dict[str, tuple[int, list[str]]] | None = None,
+        auto_compact_dirs: int | None = 16,
     ):
         """``bucket_spec``: table → (num_buckets, cols). Tables named here
         write hash-bucketed (+ sorted) on the given columns — the 100 TB
@@ -76,6 +77,16 @@ class Warehouse:
         self._staged_rows: dict[str, list[dict]] = {}
         self._staged_buckets: dict[str, dict] = {}
         self._bucket_spec = dict(bucket_spec or {})
+        # auto-compact BUCKETED tables whose data-dir count exceeds this at
+        # commit time (None disables). Multi-dir bucketed reads union
+        # per-dir relations and silently lose the exchange-free join
+        # property until compacted — this keeps long crawls that never run
+        # `maintain --compact` inside the bucketed tier. Plain tables are
+        # never auto-compacted (a union loses nothing there). At real scale
+        # the production analogue is Iceberg's size-tiered
+        # rewrite_data_files on a maintenance schedule; a dir-count
+        # threshold is the right shape for round-grained appends.
+        self._auto_compact_dirs = auto_compact_dirs
         # guards staging-dict mutations: the crawl loop submits its
         # independent lineage writes from a thread pool (parquet writes run
         # concurrently; only the dir registration needs the lock)
@@ -116,8 +127,24 @@ class Warehouse:
                 self._staged_buckets = dict(self._manifest.buckets)
 
     def commit(self, tag: str, props: dict[str, str] | None = None) -> int:
-        """Atomically publish all staged writes as one snapshot."""
+        """Atomically publish all staged writes as one snapshot. Bucketed
+        tables that crossed ``auto_compact_dirs`` data dirs are compacted
+        back to one dir first, restoring their zero-exchange join
+        property."""
         self._begin()
+        if self._auto_compact_dirs is not None:
+            for t in list(self._staged):
+                if self._effective_spec(t) and (
+                    len(
+                        [
+                            d
+                            for d in self._staged.get(t, [])
+                            if os.path.exists(d)
+                        ]
+                    )
+                    > self._auto_compact_dirs
+                ):
+                    self.compact(t)
         v = self._manifest.version + 1
         if props:
             self._staged_props.update(props)

@@ -157,3 +157,80 @@ def test_resize_media_codec_error_routing():
     assert out[2].media is None and "png" in out[2].error
     assert out[3].error is None and len(bytes(out[3].media)) == 2 * 2 * 3
     assert out[4].media is None and "too short" in out[4].error
+
+
+def test_png_pixel_decode_roundtrip_all_filters():
+    """Stdlib PNG decoder (VERDICT r3 item 6): zlib inflate + scanline
+    unfilter, pixel-exact against the encoder for every filter type, plus
+    grayscale/alpha channel normalization and error cases."""
+    import numpy as np
+
+    from ethos_spark.ops.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    for ft in range(5):
+        png = encode_png(img, filter_type=ft)
+        out = decode_png(png)
+        assert out.shape == (13, 9, 3)
+        assert np.array_equal(out, img), f"filter {ft}"
+
+    # multiple IDAT chunks: split the stream and re-chunk
+    png = encode_png(img, filter_type=4)
+    # find the single IDAT chunk and split its body in two
+    i = 8
+    parts = []
+    while i < len(png):
+        clen = struct.unpack(">I", png[i : i + 4])[0]
+        tag = png[i + 4 : i + 8]
+        body = png[i + 8 : i + 8 + clen]
+        parts.append((tag, body))
+        i += 12 + clen
+
+    def chunk(tag, body):
+        import zlib as z
+
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    rebuilt = b"\x89PNG\r\n\x1a\n"
+    for tag, body in parts:
+        if tag == b"IDAT":
+            rebuilt += chunk(b"IDAT", body[: len(body) // 2])
+            rebuilt += chunk(b"IDAT", body[len(body) // 2:])
+        else:
+            rebuilt += chunk(tag, body)
+    assert np.array_equal(decode_png(rebuilt), img)
+
+    # unsupported shapes raise (palette type 3)
+    import pytest as _pytest
+    bad_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", bad_ihdr) + chunk(
+        b"IDAT", b"\x00"
+    ) + chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="color type"):
+        decode_png(bad)
+
+
+def test_resize_media_decodes_real_png():
+    """A real compressed PNG now flows through resize_media with NO error:
+    decoded with the stdlib kernel, resized from its own dimensions."""
+    import numpy as np
+
+    from ethos_spark.ops.multimodal import encode_png, resize_media
+    from ethos_spark.session import get_spark
+
+    spark = get_spark("test-mm2", master="local[2]", shuffle_partitions=2)
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    rows = spark.createDataFrame(
+        [(1, bytearray(encode_png(img, filter_type=4)))],
+        "doc_id long, media binary",
+    )
+    out = resize_media(rows, 8, 8, 2, 2).collect()[0]  # src dims ignored for png
+    assert out.error is None
+    got = np.frombuffer(bytes(out.media), dtype=np.uint8).reshape(2, 2, 3)
+    ys = np.arange(2) * 4 // 2
+    xs = np.arange(2) * 4 // 2
+    assert np.array_equal(got, img[ys][:, xs])

@@ -299,3 +299,43 @@ def test_bucketed_fetch_tier_zero_exchange_and_parity(spark, tmp_path):
     assert len(fetcher._stages) <= 2
     assert not spark.catalog.tableExists(first_name)
     assert not os.path.exists(first_path)
+
+
+def test_auto_compact_on_commit(spark, tmp_path):
+    """Bucketed tables auto-compact at commit once their dir count crosses
+    the threshold (round-3 VERDICT item 4): a long crawl that never runs
+    `maintain --compact` keeps the zero-exchange join property anyway.
+    Plain (unbucketed) tables are left alone."""
+    wh = Warehouse(
+        spark,
+        str(tmp_path / "wh_ac"),
+        bucket_spec={"pages": (NB, ["url"])},
+        auto_compact_dirs=3,
+    )
+    for i in range(4):
+        wh.append(
+            "pages",
+            spark.range(i * 10, i * 10 + 10).select(
+                F.concat(F.lit("https://h"), F.col("id") % 7,
+                         F.lit("/p/"), F.col("id")).alias("url"),
+                F.encode(F.lit("x"), "UTF-8").alias("html"),
+            ),
+        )
+        wh.append("plain", spark.range(i, i + 1).select(F.col("id")))
+        wh.commit(f"round-{i}")
+    # 4 appends crossed the threshold at commit 4 -> compacted to one dir
+    assert len(wh._manifest.tables["pages"]) == 1
+    assert len(wh._manifest.tables["plain"]) == 4  # plain untouched
+    assert wh.read("pages").count() == 40
+    assert wh.read("plain").count() == 4
+    # single-dir bucketed relation: the join property is back without any
+    # manual maintenance
+    other = _corpus(spark, 40)
+    stage = str(tmp_path / "wh_ac_other")
+    (
+        other.repartition(NB, F.col("url")).write.mode("overwrite")
+        .bucketBy(NB, "url").sortBy("url").option("path", stage)
+        .saveAsTable("wh_ac_other_t")
+    )
+    j = wh.read("pages").join(spark.table("wh_ac_other_t"), "url")
+    assert count_exchanges(j) == 0, formatted_plan(j)
