@@ -512,6 +512,71 @@ def stratified_sample(spark, sf):
     return out.orderBy("doc_id")
 
 
+def streaming_crawl_sessions(spark, sf):
+    """foreachBatch streaming crawl (round-3 VERDICT item 10): seed URLs
+    arrive as a two-file stream; each micro-batch runs an incremental
+    crawl session on a shared warehouse. Batch 0 crawls host 0; batch 1
+    re-seeds host 0 (incremental dedup → all_duplicates, zero items) and
+    crawls host 1 fresh. Deterministic corpus → the per-session outcomes
+    are pinned by the VALUES oracle."""
+    import json
+    import os
+    import tempfile
+
+    from ethos_spark.crawl.fetcher import CorpusFetcher
+    from ethos_spark.crawl.runner import CrawlOptions
+    from ethos_spark.sources.config import SYNTH_SOURCE
+    from ethos_spark.streaming.crawl_stream import run_crawl_stream
+    from ethos_spark.synth import build_pages_df, listing_url
+
+    tmp = tempfile.mkdtemp(prefix="ethos-scrawl-")
+    seed_dir = os.path.join(tmp, "seeds")
+    os.makedirs(seed_dir)
+    corpus = build_pages_df(spark, 2, 24).cache()
+    corpus.count()
+    summaries = {}
+
+    def drop(name, urls):
+        with open(os.path.join(seed_dir, name + ".json"), "w") as f:
+            for u in urls:
+                f.write(json.dumps({"url": u}) + "\n")
+
+    drop("b0", [listing_url(0, 1)])
+    seeds = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", 1)
+        .json(seed_dir)
+    )
+    q = run_crawl_stream(
+        seeds,
+        os.path.join(tmp, "wh"),
+        lambda: CorpusFetcher(corpus),
+        SYNTH_SOURCE,
+        CrawlOptions(),
+        checkpoint=os.path.join(tmp, "ckpt"),
+        on_summary=lambda bid, s: summaries.setdefault(bid, s),
+    )
+    q.processAllAvailable()
+    drop("b1", [listing_url(0, 1), listing_url(1, 1)])
+    q.processAllAvailable()
+    q.stop()
+    corpus.unpersist()
+    rows = [
+        (
+            int(bid),
+            s.stopped_reason,
+            int(s.items_processed),
+            int(s.pages_processed),
+        )
+        for bid, s in sorted(summaries.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "batch_id int, stopped_reason string, items_processed int,"
+        " pages_processed int",
+    ).orderBy("batch_id")
+
+
 def streaming_dedup_digests(spark, sf):
     """Streaming exact dedup (dropDuplicates over a file-source stream):
     the same documents file fed as TWO micro-batch files; engine-managed
@@ -579,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_events": streaming_windowed_events,
         "streaming_user_totals": streaming_user_totals,
         "streaming_dedup_digests": streaming_dedup_digests,
+        "streaming_crawl_sessions": streaming_crawl_sessions,
         "multimodal_decode": multimodal_decode,
         "stratified_sample": stratified_sample,
     }
@@ -861,6 +927,19 @@ FROM reach GROUP BY src ORDER BY doc_id
                 (14::int, 'zh', 'zh')
             ) AS t(sample_id, lang_true, lang_ct)
             ORDER BY sample_id
+        """,
+        "streaming_crawl_sessions": """
+            -- pinned outcome of the deterministic two-batch streaming
+            -- crawl: batch 0 crawls host 0 (12 items / 2 listing pages,
+            -- chain ends at no_next_button); batch 1 re-seeds host 0
+            -- (incremental dedup) and crawls the smaller host 1 (4 items,
+            -- 1 page) - session-level reason follows the reference enum
+            SELECT * FROM (VALUES
+                (0::int, 'no_next_button', 12::int, 2::int),
+                (1::int, 'all_duplicates', 4::int, 1::int)
+            ) AS t(batch_id, stopped_reason, items_processed,
+                   pages_processed)
+            ORDER BY batch_id
         """,
         "langid_predict": """
             WITH n AS (
