@@ -427,6 +427,15 @@ def langid_ct(spark, sf):
     )
 
 
+def quality_repetition(spark, sf):
+    """Gopher-style repetition signals (dup-word fraction, top word /
+    bigram weight) over the documents table — the boilerplate/spam axis
+    the length-based quality score misses. Exact histogram parity with
+    the DuckDB unnest oracle."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return ts.repetition_features(d).orderBy("doc_id")
+
+
 def quality_score(spark, sf):
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
     return ts.quality_features(d).select(
@@ -510,6 +519,36 @@ def stratified_sample(spark, sf):
         d, "source", "doc_id", _MIX_RATES, _MIX_DEFAULT, salt=_MIX_SALT
     )
     return out.orderBy("doc_id")
+
+
+def warc_roundtrip(spark, sf):
+    """WARC source/sink (ISO 28500, sources/warc.py): export the
+    deterministic synthetic corpus as per-partition .warc.gz segments
+    (one gzip member per record, uuid5 record ids), read it back through
+    the binaryFile source, and aggregate a byte-exact roundtrip proof —
+    record count, order-independent XOR of the 56-bit url hashes, and
+    total payload bytes. Pinned by the VALUES oracle."""
+    import tempfile
+
+    from ethos_spark.sources.warc import read_warc, write_warc
+    from ethos_spark.synth import build_pages_df
+
+    corpus = build_pages_df(spark, 2, 24).cache()
+    corpus.count()
+    out = tempfile.mkdtemp(prefix="ethos-warc-")
+    write_warc(corpus.repartition(2, "url"), out).collect()
+    back = read_warc(spark, out)
+    res = back.agg(
+        F.count("*").alias("n_records"),
+        F.bit_xor(
+            F.conv(F.substring(F.md5(F.col("url")), 1, 14), 16, 10).cast(
+                "long"
+            )
+        ).alias("url_xor"),
+        F.sum(F.length("html")).alias("n_payload_bytes"),
+    )
+    corpus.unpersist()
+    return res
 
 
 def streaming_crawl_sessions(spark, sf):
@@ -640,11 +679,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_predict": langid_predict,
         "langid_ct": langid_ct,
         "quality_score": quality_score,
+        "quality_repetition": quality_repetition,
         "token_counts": token_counts,
         "streaming_windowed_events": streaming_windowed_events,
         "streaming_user_totals": streaming_user_totals,
         "streaming_dedup_digests": streaming_dedup_digests,
         "streaming_crawl_sessions": streaming_crawl_sessions,
+        "warc_roundtrip": warc_roundtrip,
         "multimodal_decode": multimodal_decode,
         "stratified_sample": stratified_sample,
     }
@@ -940,6 +981,50 @@ FROM reach GROUP BY src ORDER BY doc_id
             ) AS t(batch_id, stopped_reason, items_processed,
                    pages_processed)
             ORDER BY batch_id
+        """,
+        "quality_repetition": """
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents WHERE doc_id < 300
+            ), l AS (
+              SELECT doc_id, string_split(t, ' ') AS w FROM n
+            ), wrds AS (
+              SELECT doc_id, unnest(w) AS tok FROM l
+            ), wc AS (
+              SELECT doc_id, tok, count(*) AS c FROM wrds GROUP BY 1, 2
+            ), wa AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_words,
+                     count(*) AS n_distinct, max(c) AS top_c
+              FROM wc GROUP BY 1
+            ), bl AS (
+              SELECT doc_id,
+                     unnest(list_transform(w[1:length(w)-1],
+                            (x, i) -> x || ' ' || w[i+1])) AS tok
+              FROM l WHERE length(w) >= 2
+            ), bc AS (
+              SELECT doc_id, tok, count(*) AS c FROM bl GROUP BY 1, 2
+            ), ba AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c) AS top_bg
+              FROM bc GROUP BY 1
+            )
+            SELECT wa.doc_id, n_words,
+                   round(top_c * 1.0 / n_words, 6) AS top_word_frac,
+                   round((n_words - n_distinct) * 1.0 / n_words, 6)
+                     AS dup_word_frac,
+                   round(coalesce(top_bg * 1.0 / n_bigrams, 0), 6)
+                     AS top_bigram_frac
+            FROM wa LEFT JOIN ba USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "warc_roundtrip": """
+            -- pinned byte-exact WARC roundtrip of the deterministic
+            -- 2-host/24-article synthetic corpus: 26 records (2 listing
+            -- chains + articles), order-independent h56(url) XOR, total
+            -- payload bytes
+            SELECT 26::bigint AS n_records,
+                   36286253463135465::bigint AS url_xor,
+                   27160::bigint AS n_payload_bytes
         """,
         "langid_predict": """
             WITH n AS (

@@ -118,3 +118,66 @@ def fingerprint(c: Column) -> Column:
     """Deterministic document fingerprint: md5 over the lowercase
     alphanumeric skeleton (robust to whitespace/punct edits)."""
     return F.md5(F.regexp_replace(F.lower(c), "[^a-z0-9]", ""))
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", §A1.1 repetition filters — public
+    paper): per doc the fraction of the text made of repeated words and
+    the weight of the single most frequent word / bigram. Boilerplate and
+    spam score high; natural prose low.
+
+    Output: (id, n_words, top_word_frac, dup_word_frac, top_bigram_frac).
+
+    Shape: explode → two-level aggregation, the same histogram plan the
+    DuckDB oracle runs via unnest — exact cross-engine parity. Two
+    shuffles keyed by (doc, token); at corpus scale the first-level
+    combine is map-side (partial counts per token), so the wide explode
+    never shuffles raw — only (doc, token, count) triples move."""
+    words = F.split(norm_text(F.col(text_col)), " ")
+    n = F.size(words)
+    # bigrams via indexed transform over words[0..n-2]: element i pairs
+    # with element_at(words, i+2) (element_at is 1-based, i is 0-based)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.slice(words, 1, n - 1),
+            lambda x, i: F.concat(
+                x, F.lit(" "), F.element_at(words, i + F.lit(2))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col), words.alias("_w"), bigrams.alias("_bg")
+    )
+    wa = (
+        base.select(id_col, F.explode("_w").alias("t"))
+        .groupBy(id_col, "t")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.sum("count").alias("n_words"),
+            F.count("*").alias("_n_distinct"),
+            F.max("count").alias("_top_c"),
+        )
+    )
+    ba = (
+        base.select(id_col, F.explode("_bg").alias("t"))
+        .groupBy(id_col, "t")
+        .count()
+        .groupBy(id_col)
+        .agg(F.sum("count").alias("_n_bg"), F.max("count").alias("_top_bg"))
+    )
+    return wa.join(ba, id_col, "left").select(
+        id_col,
+        "n_words",
+        F.round(F.col("_top_c") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.round(
+            (F.col("n_words") - F.col("_n_distinct")) / F.col("n_words"), 6
+        ).alias("dup_word_frac"),
+        F.round(
+            F.coalesce(F.col("_top_bg") / F.col("_n_bg"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+    )
