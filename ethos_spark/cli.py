@@ -117,6 +117,12 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--gc-orphans", action="store_true",
                    help="remove data dirs no committed snapshot references")
 
+    x = sub.add_parser("export-warc")  # pages -> ISO 28500 segments
+    x.add_argument("--warehouse", required=True)
+    x.add_argument("--out", required=True, help="output dir for .warc.gz segments")
+    x.add_argument("--segments", type=int, default=None,
+                   help="number of segment files (default: pages partitioning)")
+
     args = p.parse_args(argv)
 
     from ethos_spark.catalog import Warehouse
@@ -343,6 +349,23 @@ def main(argv: list[str] | None = None) -> int:
                 for r in rows
             ]
         )
+    elif args.cmd == "export-warc":
+        import pyspark.sql.functions as F
+
+        from ethos_spark.sources.warc import write_warc
+
+        pages = wh.read("pages").where(F.col("content").isNotNull()).select(
+            "url", F.encode(F.col("content"), "UTF-8").alias("html")
+        )
+        if args.segments:
+            pages = pages.repartition(args.segments, "url")
+        manifest = write_warc(pages, args.out).collect()
+        print(json.dumps({
+            "files": len(manifest),
+            "records": sum(m.n_records for m in manifest),
+            "bytes": sum(m.n_bytes for m in manifest),
+            "out": args.out,
+        }))
     elif args.cmd == "maintain":
         out: dict = {}
         if args.gc_orphans:
