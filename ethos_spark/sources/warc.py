@@ -72,22 +72,40 @@ def write_warc(
     url_col: str = "url",
     payload_col: str = "html",
     warc_date: str = _WARC_DATE,
+    with_index: bool = False,
 ) -> DataFrame:
     """Export (url, payload) rows as one ``.warc.gz`` file per partition.
     Executors write their own files (no driver funnel); returns the
     manifest DataFrame (file, n_records, n_bytes) — metadata-sized, one
     row per written file. Rows are written in (url) order within a file
-    for deterministic bytes."""
+    for deterministic bytes.
+
+    ``with_index=True`` returns a CDX-style RECORD index instead — one
+    row per record (url, file, offset, length): because every record is
+    its own gzip member, (offset, length) is a byte range any reader can
+    fetch and inflate independently (``read_warc_record``) — random
+    access into petabyte archives without scanning segments, the same
+    contract as Common Crawl's CDX index."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    out_schema = T.StructType(
-        [
-            T.StructField("file", T.StringType()),
-            T.StructField("n_records", T.LongType()),
-            T.StructField("n_bytes", T.LongType()),
-        ]
-    )
+    if with_index:
+        out_schema = T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("file", T.StringType()),
+                T.StructField("offset", T.LongType()),
+                T.StructField("length", T.LongType()),
+            ]
+        )
+    else:
+        out_schema = T.StructType(
+            [
+                T.StructField("file", T.StringType()),
+                T.StructField("n_records", T.LongType()),
+                T.StructField("n_bytes", T.LongType()),
+            ]
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -95,6 +113,9 @@ def write_warc(
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
         n = total = 0
+        idx_urls: list[str] = []
+        idx_off: list[int] = []
+        idx_len: list[int] = []
         with open(path, "wb") as f:
             for pdf in batches:
                 pdf = pdf.sort_values(url_col)
@@ -102,18 +123,46 @@ def write_warc(
                     if payload is None:
                         continue
                     rec = _encode_record(url, bytes(payload), warc_date)
+                    if with_index:
+                        idx_urls.append(url)
+                        idx_off.append(total)
+                        idx_len.append(len(rec))
                     f.write(rec)
                     n += 1
                     total += len(rec)
         if n == 0:
             os.unlink(path)  # no empty segment files
-            yield pd.DataFrame({"file": [], "n_records": [], "n_bytes": []})
+            yield pd.DataFrame({c.name: [] for c in out_schema.fields})
             return
-        yield pd.DataFrame(
-            {"file": [path], "n_records": [n], "n_bytes": [total]}
-        )
+        if with_index:
+            yield pd.DataFrame(
+                {
+                    "url": idx_urls,
+                    "file": path,
+                    "offset": idx_off,
+                    "length": idx_len,
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {"file": [path], "n_records": [n], "n_bytes": [total]}
+            )
 
     return df.select(url_col, payload_col).mapInPandas(run, out_schema)
+
+
+def read_warc_record(file: str, offset: int, length: int) -> tuple[str, bytes]:
+    """Random access: fetch one record by its CDX (file, offset, length)
+    byte range — seek, read, inflate one gzip member, parse. Never scans
+    the segment."""
+    with open(file, "rb") as f:
+        f.seek(offset)
+        blob = f.read(length)
+    recs = _parse_members(blob)
+    if not recs:
+        raise ValueError(f"no response record at {file}:{offset}+{length}")
+    url, _date, _rid, payload = recs[0]
+    return url, payload
 
 
 def _parse_members(blob: bytes) -> list[tuple[str, str, str, bytes]]:

@@ -113,3 +113,23 @@ class CorpusHTTPServer:
             for t, url, host in self.hits:
                 out.setdefault(host, []).append((t, url))
         return out
+
+
+class WarcGatewayServer(CorpusHTTPServer):
+    """Fetch gateway backed by WARC segments + CDX index: the production
+    shape — a smart proxy resolving URLs to archived records via byte
+    ranges (never scanning segments). ``cdx``: url → (file, offset,
+    length). Inherits the hit/in-flight accounting of CorpusHTTPServer."""
+
+    def __init__(self, cdx: dict[str, tuple[str, int, int]], **kw):
+        from ethos_spark.sources.warc import read_warc_record
+
+        class _Lazy(dict):
+            def get(self, url, default=None):
+                loc = cdx.get(url)
+                if loc is None:
+                    return default
+                _u, payload = read_warc_record(*loc)
+                return payload
+
+        super().__init__(_Lazy(), **kw)
