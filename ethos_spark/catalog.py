@@ -259,6 +259,14 @@ class Warehouse:
     def read_rows(self, table: str) -> list[dict]:
         return list(self._rows().get(table, []))
 
+    def bucket_cols(self, table: str) -> list[str] | None:
+        """Columns the table is bucketed on (ctor spec or manifest), or
+        None — callers pick join keys that exploit the layout (e.g. the
+        persistent seen anti-join keys on url when pages is bucketed by
+        url, so the big side plans no exchange)."""
+        spec = self._effective_spec(table)
+        return list(spec[1]) if spec else None
+
     def is_row_table(self, table: str) -> bool:
         """True when the table currently lives in the manifest row tier
         (committed or staged) — readers/writers use this to route."""

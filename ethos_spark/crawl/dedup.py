@@ -119,12 +119,17 @@ def anti_join_seen(
     key: str = "url_hash",
     bloom: BloomFilter | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """J2: return (new, dupes). ``seen`` side is aggregated to distinct keys;
-    Catalyst broadcasts it when small, sort-merges on the shuffle key
-    otherwise (both sides hash-partition on url_hash — co-located when the
-    tables are bucketed the same way). Bloom prefilter splits candidates so
-    only possible-members pay the join."""
-    seen_keys = seen.select(key).distinct()
+    """J2: return (new, dupes). Catalyst broadcasts the ``seen`` side when
+    small, sort-merges on the join key otherwise; when ``seen`` is a
+    relation bucketed on ``key`` (pages bucketed by url) ITS side plans no
+    exchange at all — only the candidate slice moves. Bloom prefilter
+    splits candidates so only possible-members pay the join.
+
+    No ``distinct()`` on the seen side: anti/semi joins are insensitive to
+    right-side duplicates, and at 10^10 stored URLs a per-round
+    deduplicating aggregation of the whole seen set is pure waste (it also
+    destroys the bucketed relation's no-exchange property)."""
+    seen_keys = seen.select(key)
     if bloom is not None:
         spark = candidates.sparkSession
         probe = bloom.might_contain_udf(spark)

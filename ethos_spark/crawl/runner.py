@@ -435,13 +435,22 @@ class CrawlRunner:
         seen_count = int(self.wh.props.get("seen_count", "0"))
         bloom = None
         if opt.skip_existing_urls and seen_count > 0:
-            # seen set = url_hash projection of pages (column-pruned scan)
-            seen = self.wh.read("pages", schemas.PAGES_OUT).select("url_hash")
+            # seen set = key projection of pages (column-pruned scan). When
+            # the warehouse buckets pages by url, key the join on url too:
+            # the bucketed relation then plans NO exchange — only the
+            # candidate slice shuffles (url_hash is h56(url), so the two
+            # keys are interchangeable for membership)
+            seen_key = (
+                "url" if self.wh.bucket_cols("pages") == ["url"] else "url_hash"
+            )
+            seen = self.wh.read("pages", schemas.PAGES_OUT).select(seen_key)
             if seen_count >= opt.use_bloom_over:
                 bloom = BloomFilter.build(
-                    seen, "url_hash", seen_count, opt.bloom_fpp
+                    seen, seen_key, seen_count, opt.bloom_fpp
                 )
-            to_process, _ = anti_join_seen(session_new, seen, bloom=bloom)
+            to_process, _ = anti_join_seen(
+                session_new, seen, key=seen_key, bloom=bloom
+            )
         else:
             to_process = session_new
         to_process = to_process.cache()

@@ -339,3 +339,44 @@ def test_auto_compact_on_commit(spark, tmp_path):
     )
     j = wh.read("pages").join(spark.table("wh_ac_other_t"), "url")
     assert count_exchanges(j) == 0, formatted_plan(j)
+
+
+def test_bucketed_seen_anti_join_big_side_no_exchange(spark, tmp_path):
+    """J2 persistent dedup on a pages-bucketed warehouse: keying the
+    anti-join on url lets the bucketed (big) side plan ZERO exchanges —
+    only the candidate slice shuffles. The unbucketed layout shuffles
+    both sides."""
+    from ethos_spark.crawl.dedup import anti_join_seen
+
+    cand = spark.range(500).select(
+        F.concat(F.lit("https://h"), F.col("id") % 7, F.lit("/p/"),
+                 F.col("id") + 2500).alias("url")
+    )
+
+    wh_b = Warehouse(
+        spark, str(tmp_path / "wh_seen_b"), bucket_spec={"pages": (NB, ["url"])}
+    )
+    wh_b.append("pages", _corpus(spark, 3000))
+    wh_b.commit("r1")
+    import re
+
+    def n_exch(df):
+        # count Exchange node HEADERS (count_exchanges also counts the
+        # tree rendering of each node, doubling)
+        return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.M))
+
+    new_b, _ = anti_join_seen(cand, wh_b.read("pages").select("url"), key="url")
+    n_b = n_exch(new_b)
+
+    wh_p = Warehouse(spark, str(tmp_path / "wh_seen_p"))
+    wh_p.append("pages", _corpus(spark, 3000))
+    wh_p.commit("r1")
+    new_p, _ = anti_join_seen(cand, wh_p.read("pages").select("url"), key="url")
+    n_p = n_exch(new_p)
+
+    assert n_b == 1, formatted_plan(new_b)   # candidate side only
+    assert n_p == 2, formatted_plan(new_p)   # both sides shuffle
+    # results identical either way
+    assert sorted(r.url for r in new_b.collect()) == sorted(
+        r.url for r in new_p.collect()
+    )
