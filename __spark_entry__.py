@@ -436,6 +436,17 @@ def quality_repetition(spark, sf):
     return ts.repetition_features(d).orderBy("doc_id")
 
 
+def boilerplate_dedup(spark, sf):
+    """CCNet/RefinedWeb-style boilerplate removal: fixed-size word blocks
+    with global document frequency > 2 are dropped and documents
+    reassembled in order. Full DuckDB parity (same histogram + rebuild
+    plan via unnest/generate_subscripts)."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return ts.boilerplate_line_dedup(d, block_words=10, max_freq=2).orderBy(
+        "doc_id"
+    )
+
+
 def quality_score(spark, sf):
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
     return ts.quality_features(d).select(
@@ -680,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_ct": langid_ct,
         "quality_score": quality_score,
         "quality_repetition": quality_repetition,
+        "boilerplate_dedup": boilerplate_dedup,
         "token_counts": token_counts,
         "streaming_windowed_events": streaming_windowed_events,
         "streaming_user_totals": streaming_user_totals,
@@ -1025,6 +1037,41 @@ FROM reach GROUP BY src ORDER BY doc_id
             SELECT 26::bigint AS n_records,
                    36286253463135465::bigint AS url_xor,
                    27160::bigint AS n_payload_bytes
+        """,
+        "boilerplate_dedup": """
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents WHERE doc_id < 300
+            ), l AS (
+              SELECT doc_id, string_split(t, ' ') AS w FROM n
+            ), b AS (
+              SELECT doc_id,
+                     list_transform(range(ceil(length(w) / 10.0)::int),
+                       i -> array_to_string(w[i*10+1 : i*10+10], ' '))
+                       AS blocks
+              FROM l
+            ), e AS (
+              SELECT doc_id, unnest(blocks) AS block,
+                     generate_subscripts(blocks, 1) AS pos
+              FROM b
+            ), freq AS (
+              SELECT block, count(DISTINCT doc_id) AS dfreq FROM e GROUP BY 1
+            ), kept AS (
+              SELECT e.doc_id, e.block, e.pos
+              FROM e JOIN freq USING (block) WHERE dfreq <= 2
+            ), rebuilt AS (
+              SELECT doc_id, count(*)::bigint AS n_kept,
+                     string_agg(block, ' ' ORDER BY pos) AS clean_text
+              FROM kept GROUP BY 1
+            ), totals AS (
+              SELECT doc_id, length(blocks)::bigint AS n_blocks FROM b
+            )
+            SELECT t.doc_id, n_blocks,
+                   coalesce(n_kept, 0) AS n_kept,
+                   coalesce(clean_text, '') AS clean_text
+            FROM totals t LEFT JOIN rebuilt USING (doc_id)
+            ORDER BY doc_id
         """,
         "langid_predict": """
             WITH n AS (

@@ -181,3 +181,71 @@ def repetition_features(
             F.coalesce(F.col("_top_bg") / F.col("_n_bg"), F.lit(0.0)), 6
         ).alias("top_bigram_frac"),
     )
+
+
+def boilerplate_line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_words: int = 10,
+    max_freq: int = 2,
+) -> DataFrame:
+    """CCNet-style boilerplate removal (Wenzek et al. 2020 dedup unit;
+    RefinedWeb line-wise filtering — public papers): split each document
+    into fixed-size word blocks (the corpus here is unpunctuated word
+    text, so blocks stand in for lines), count each block's GLOBAL
+    document frequency, drop blocks appearing in more than ``max_freq``
+    documents, and reassemble the surviving text in original order.
+
+    Output: (id, n_blocks, n_kept, clean_text).
+
+    Scale shape: explode → two aggregations keyed by block hash — the
+    same map-side-combining histogram plan as repetition_features; the
+    block strings themselves shuffle once as (block, count) pairs, never
+    the full documents."""
+    words = F.split(norm_text(F.col(text_col)), " ")
+    n_blocks = F.ceil(F.size(words) / F.lit(block_words)).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * block_words + 1, block_words), " "
+        ),
+    )
+    base = df.select(F.col(id_col), blocks.alias("_blocks"))
+    exploded = base.select(
+        id_col, F.posexplode("_blocks").alias("pos", "block")
+    )
+    # document frequency per block (count distinct docs via pre-distinct —
+    # a block repeated within one doc counts once)
+    freq = (
+        exploded.select("block", id_col)
+        .distinct()
+        .groupBy("block")
+        .agg(F.count("*").alias("_df"))
+    )
+    kept = exploded.join(
+        freq.where(F.col("_df") > max_freq).select("block"),
+        "block",
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("block")))
+                ),
+                lambda s: s["block"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = base.select(
+        id_col, F.size("_blocks").cast("long").alias("n_blocks")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_blocks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
