@@ -123,12 +123,44 @@ def main(argv: list[str] | None = None) -> int:
     x.add_argument("--segments", type=int, default=None,
                    help="number of segment files (default: pages partitioning)")
 
+    iw = sub.add_parser("import-warc")  # ISO 28500 segments -> corpus parquet
+    iw.add_argument("--in", dest="warc_in", required=True,
+                    help="dir of .warc.gz segment files")
+    iw.add_argument("--out", required=True, help="output parquet dir (url, html)")
+    iw.add_argument("--buckets", type=int, default=None,
+                    help="also register the corpus bucketed by url into N buckets")
+
     args = p.parse_args(argv)
 
     from ethos_spark.catalog import Warehouse
     from ethos_spark.session import get_spark
 
     spark = get_spark(f"ethos-{args.cmd}")
+    if args.cmd == "import-warc":
+        import pyspark.sql.functions as F
+
+        from ethos_spark.sources.warc import read_warc
+
+        df = read_warc(spark, args.warc_in).select("url", "html")
+        if args.buckets:
+            # the fetch-ready layout: one shuffle at ingest buys the
+            # bucketed zero-exchange fetch tier (CorpusFetcher)
+            name = "warc_corpus_b"
+            (
+                df.repartition(args.buckets, F.col("url"))
+                .write.mode("overwrite")
+                .bucketBy(args.buckets, "url")
+                .sortBy("url")
+                .option("path", args.out)
+                .saveAsTable(name)
+            )
+            n = spark.table(name).count()
+        else:
+            df.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+        print(json.dumps({"records": n, "out": args.out,
+                          "bucketed": bool(args.buckets)}))
+        return 0
     wh = Warehouse(spark, args.warehouse)
 
     if args.cmd == "crawl":
