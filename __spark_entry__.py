@@ -447,6 +447,16 @@ def boilerplate_dedup(spark, sf):
     )
 
 
+def lm_familiarity_score(spark, sf):
+    """Corpus-LM familiarity filter (CCNet shape, log-free statistic):
+    bigram counts trained on docs 0-99 score docs 100-299 by mean
+    training-corpus bigram frequency. Exact DuckDB parity."""
+    d = _t(spark, sf, "documents")
+    train = d.where(F.col("doc_id") < 100)
+    score = d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+    return ts.lm_familiarity(train, score).orderBy("doc_id")
+
+
 def quality_score(spark, sf):
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
     return ts.quality_features(d).select(
@@ -692,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": quality_score,
         "quality_repetition": quality_repetition,
         "boilerplate_dedup": boilerplate_dedup,
+        "lm_familiarity_score": lm_familiarity_score,
         "token_counts": token_counts,
         "streaming_windowed_events": streaming_windowed_events,
         "streaming_user_totals": streaming_user_totals,
@@ -1071,6 +1082,30 @@ FROM reach GROUP BY src ORDER BY doc_id
                    coalesce(n_kept, 0) AS n_kept,
                    coalesce(clean_text, '') AS clean_text
             FROM totals t LEFT JOIN rebuilt USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "lm_familiarity_score": """
+            WITH norm AS (
+              SELECT doc_id,
+                     string_split(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       ' ') AS w
+              FROM documents WHERE doc_id < 300
+            ), bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(w[1:length(w)-1],
+                            (x, i) -> x || ' ' || w[i+1])) AS b
+              FROM norm WHERE length(w) >= 2
+            ), counts AS (
+              SELECT b, count(*) AS c FROM bg WHERE doc_id < 100 GROUP BY b
+            ), scored AS (
+              SELECT bg.doc_id, bg.b, coalesce(counts.c, 0) AS c
+              FROM bg LEFT JOIN counts USING (b)
+              WHERE bg.doc_id >= 100
+            )
+            SELECT doc_id, count(*)::bigint AS n_bigrams,
+                   round(sum(c) * 1.0 / count(*), 6) AS familiarity
+            FROM scored GROUP BY doc_id
             ORDER BY doc_id
         """,
         "langid_predict": """

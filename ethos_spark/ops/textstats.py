@@ -249,3 +249,55 @@ def boilerplate_line_dedup(
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def lm_familiarity(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-LM familiarity score — the CCNet-style LM quality filter
+    shape (Wenzek et al. 2020 score documents with a KenLM trained on a
+    trusted corpus; public paper) with a log-free statistic so the score
+    is EXACTLY reproducible cross-engine: a document's score is the mean
+    training-corpus frequency of its word bigrams (0 for unseen), which
+    is monotone in the unigram-free LM likelihood. Out-of-domain and
+    gibberish text scores near zero; in-domain text high.
+
+    Output: (id, n_bigrams, familiarity).
+
+    Scale shape: the bigram count table is corpus-sized but
+    aggregate-keyed (map-side combine); scoring joins doc bigrams to it
+    on the bigram key — broadcast when the vocabulary is small, shuffle
+    hash join otherwise. A real KenLM swap-in would broadcast the
+    binarized model to a pandas UDF; the pipeline shape is identical."""
+
+    def _bigrams(df: DataFrame) -> DataFrame:
+        words = F.split(norm_text(F.col(text_col)), " ")
+        n = F.size(words)
+        bg = F.when(
+            n >= 2,
+            F.transform(
+                F.slice(words, 1, n - 1),
+                lambda x, i: F.concat(
+                    x, F.lit(" "), F.element_at(words, i + F.lit(2))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(F.col(id_col), F.explode(bg).alias("bg"))
+
+    counts = _bigrams(train).groupBy("bg").agg(F.count("*").alias("_c"))
+    doc_bg = _bigrams(score)
+    return (
+        doc_bg.join(counts, "bg", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.coalesce(F.col("_c"), F.lit(0)))
+                / F.count("*"),
+                6,
+            ).alias("familiarity"),
+        )
+    )
