@@ -386,6 +386,20 @@ def similarity_ivf_recall(spark, sf):
     return sim.ann_recall_check(emb, qids, ann, k=10, min_recall=0.8)
 
 
+def similarity_sq_recall(spark, sf):
+    """Third ANN scale path: symmetric int8 scalar quantization (codes =
+    round(127·v/||v||)) with integer-dot coarse ranking + exact-cosine
+    refinement of the shortlist — the storage-tier serving shape (codes
+    are 4-8x smaller; only the shortlist touches cold full-precision
+    rows). Oracle asserts the stable outcome: recall@10 >= 0.8 on the
+    cluster-structured corpus."""
+    emb = sim.with_cluster_structure(_t(spark, sf, "embeddings"))
+    qids = list(range(20))
+    codes = sim.sq8_quantize(emb)
+    ann = sim.sq8_topk(codes, qids, k=10, refine_with=emb)
+    return sim.ann_recall_check(emb, qids, ann, k=10, min_recall=0.8)
+
+
 def embedding_near_dup(spark, sf):
     """Embedding-cosine near-duplicate pairs over planted exact duplicates
     (vec_id+100000 copies of the first 10 vectors); LSH-bucket-blocked on
@@ -696,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": similarity_topk,
         "similarity_lsh_recall": similarity_lsh_recall,
         "similarity_ivf_recall": similarity_ivf_recall,
+        "similarity_sq_recall": similarity_sq_recall,
         "embedding_near_dup": embedding_near_dup,
         "langid_predict": langid_predict,
         "langid_ct": langid_ct,
@@ -946,6 +961,12 @@ FROM reach GROUP BY src ORDER BY doc_id
             -- self-check oracle (like similarity_lsh_recall): Spark computes
             -- IVF recall@10 vs exact in-Spark; a drop below 0.8 flips the
             -- boolean and hash-mismatches this row
+            SELECT 20::bigint AS n_queries, true AS recall_ok
+        """,
+        "similarity_sq_recall": """
+            -- self-check oracle: int8-SQ coarse rank + exact refine must
+            -- hold recall@10 >= 0.8; a drop flips the boolean and
+            -- hash-mismatches this row
             SELECT 20::bigint AS n_queries, true AS recall_ok
         """,
         "embedding_near_dup": """

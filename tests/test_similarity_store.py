@@ -73,3 +73,30 @@ def test_store_probe_prunes_partitions_and_matches(spark, tmp_path, emb):
     a = [(r.q_id, r.rank, r.neighbor_id, r.score) for r in got.collect()]
     b = [(r.q_id, r.rank, r.neighbor_id, r.score) for r in ref.collect()]
     assert a == b
+
+
+def test_sq8_quantize_and_refined_recall(spark, emb):
+    """int8 symmetric quantization: codes bounded, 4-8x smaller store;
+    coarse+refine top-k holds recall@10 >= 0.8 where coarse alone cannot
+    (neighbor score gaps < quantization noise on clustered corpora)."""
+    import pyspark.sql.functions as F2
+
+    from ethos_spark.ops.similarity import (
+        ann_recall_check,
+        sq8_quantize,
+        sq8_topk,
+    )
+
+    codes = sq8_quantize(emb)
+    bounds = codes.select(
+        F2.max(F2.array_max("code")).alias("hi"),
+        F2.min(F2.array_min("code")).alias("lo"),
+    ).collect()[0]
+    assert -127 <= bounds.lo and bounds.hi <= 127
+
+    qids = list(range(10))
+    refined = sq8_topk(
+        codes, qids, k=5, refine_with=emb, candidates_per_query=50
+    )
+    out = ann_recall_check(emb, qids, refined, k=5, min_recall=0.8).collect()
+    assert out[0].recall_ok, out
