@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ethos_spark.ops import dedup as dd
 from ethos_spark.ops import similarity as sim
 from ethos_spark.ops import textstats as ts
+from ethos_spark.ops import graph as gr
 from ethos_spark.ops.multimodal import attach_png_payload, decode_media
 
 SF0001 = "/root/testdata/sf0.001"
@@ -413,6 +414,19 @@ def embedding_near_dup(spark, sf):
     return sim.embedding_near_dup_pairs(aug, threshold=0.999)
 
 
+def pagerank_hosts(spark, sf):
+    """Link-graph centrality for frontier prioritization: 5 exact
+    integer-arithmetic PageRank rounds (ops/graph.py) over a host graph
+    derived deterministically from the events table. Fixed-point int64
+    micro-units make the iterative result bit-identical cross-engine —
+    float PageRank can never hash-match a second engine."""
+    e = _t(spark, sf, "events").select(
+        (F.col("user_id") % 50).alias("src"),
+        (F.col("event_id") % 50).alias("dst"),
+    )
+    return gr.pagerank_fixed(e, iters=5)
+
+
 def langid_predict(spark, sf):
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
     return ts.predict_lang(d).select(
@@ -712,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_recall": similarity_ivf_recall,
         "similarity_sq_recall": similarity_sq_recall,
         "embedding_near_dup": embedding_near_dup,
+        "pagerank_hosts": pagerank_hosts,
         "langid_predict": langid_predict,
         "langid_ct": langid_ct,
         "quality_score": quality_score,
@@ -1128,6 +1143,82 @@ FROM reach GROUP BY src ORDER BY doc_id
                    round(sum(c) * 1.0 / count(*), 6) AS familiarity
             FROM scored GROUP BY doc_id
             ORDER BY doc_id
+        """,
+        "pagerank_hosts": """
+            -- 5 unrolled integer PageRank rounds, bit-identical to the
+            -- Spark loop (pure int64 floor division both sides)
+            WITH e AS (
+              SELECT DISTINCT (user_id % 50)::bigint AS src,
+                              (event_id % 50)::bigint AS dst
+              FROM events WHERE (user_id % 50) != (event_id % 50)
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION SELECT dst FROM e
+              )
+            ), deg AS (
+              SELECT src, count(*) AS d FROM e GROUP BY 1
+            ), meta AS (
+              SELECT count(*) AS n FROM nodes
+            ), r0 AS (
+              SELECT node, (1000000000000 // meta.n)::bigint AS r
+              FROM nodes CROSS JOIN meta
+            ), r1 AS (
+              SELECT n2.node,
+                     ((15 * 1000000000000) // (100 * meta.n)
+                      + coalesce(s.c, 0))::bigint AS r
+              FROM nodes n2 CROSS JOIN meta LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum((r0.r * 85) // (100 * deg.d)) AS c
+                FROM r0 JOIN e ON r0.node = e.src
+                JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+              ) s USING (node)
+            ), r2 AS (
+              SELECT n2.node,
+                     ((15 * 1000000000000) // (100 * meta.n)
+                      + coalesce(s.c, 0))::bigint AS r
+              FROM nodes n2 CROSS JOIN meta LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum((r1.r * 85) // (100 * deg.d)) AS c
+                FROM r1 JOIN e ON r1.node = e.src
+                JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+              ) s USING (node)
+            ), r3 AS (
+              SELECT n2.node,
+                     ((15 * 1000000000000) // (100 * meta.n)
+                      + coalesce(s.c, 0))::bigint AS r
+              FROM nodes n2 CROSS JOIN meta LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum((r2.r * 85) // (100 * deg.d)) AS c
+                FROM r2 JOIN e ON r2.node = e.src
+                JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+              ) s USING (node)
+            ), r4 AS (
+              SELECT n2.node,
+                     ((15 * 1000000000000) // (100 * meta.n)
+                      + coalesce(s.c, 0))::bigint AS r
+              FROM nodes n2 CROSS JOIN meta LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum((r3.r * 85) // (100 * deg.d)) AS c
+                FROM r3 JOIN e ON r3.node = e.src
+                JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+              ) s USING (node)
+            ), r5 AS (
+              SELECT n2.node,
+                     ((15 * 1000000000000) // (100 * meta.n)
+                      + coalesce(s.c, 0))::bigint AS r
+              FROM nodes n2 CROSS JOIN meta LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum((r4.r * 85) // (100 * deg.d)) AS c
+                FROM r4 JOIN e ON r4.node = e.src
+                JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+              ) s USING (node)
+            )
+            SELECT node, r AS rank FROM r5 ORDER BY rank DESC, node
         """,
         "langid_predict": """
             WITH n AS (
