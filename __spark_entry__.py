@@ -485,6 +485,44 @@ def lm_familiarity_score(spark, sf):
     return ts.lm_familiarity(train, score).orderBy("doc_id")
 
 
+def pii_scrub_docs(spark, sf):
+    """PII redaction over documents with planted emails/IPs/phones (the
+    plants are identical deterministic string expressions on both
+    engines, so the scrub itself is what the oracle checks — counts and
+    redacted text byte-for-byte)."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact bob"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit("@mail-"), (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".com now"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(
+                    F.lit(" from 10.2."), (F.col("doc_id") % 250).cast("string"),
+                    F.lit("."), (F.col("doc_id") % 9).cast("string"),
+                    F.lit(" logged"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit(" call +1 555 010 "),
+                    (F.col("doc_id") % 90 + 10).cast("string"),
+                    F.lit(" today"),
+                )
+            ),
+        ).alias("text"),
+    )
+    return ts.pii_scrub(planted).orderBy("doc_id")
+
+
 def quality_score(spark, sf):
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
     return ts.quality_features(d).select(
@@ -733,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": quality_repetition,
         "boilerplate_dedup": boilerplate_dedup,
         "lm_familiarity_score": lm_familiarity_score,
+        "pii_scrub_docs": pii_scrub_docs,
         "token_counts": token_counts,
         "streaming_windowed_events": streaming_windowed_events,
         "streaming_user_totals": streaming_user_totals,
@@ -1219,6 +1258,38 @@ FROM reach GROUP BY src ORDER BY doc_id
               ) s USING (node)
             )
             SELECT node, r AS rank FROM r5 ORDER BY rank DESC, node
+        """,
+        "pii_scrub_docs": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 3 = 0 THEN
+                         ' contact bob' || (doc_id % 7)::varchar ||
+                         '@mail-' || (doc_id % 5)::varchar || '.com now'
+                       WHEN doc_id % 3 = 1 THEN
+                         ' from 10.2.' || (doc_id % 250)::varchar ||
+                         '.' || (doc_id % 9)::varchar || ' logged'
+                       ELSE
+                         ' call +1 555 010 ' ||
+                         (doc_id % 90 + 10)::varchar || ' today'
+                     END AS text
+              FROM documents WHERE doc_id < 300
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::int
+                     AS n_emails,
+                   len(regexp_extract_all(text,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::int
+                     AS n_ips,
+                   len(regexp_extract_all(text,
+                     '\\+\\d[\\d ]{6,14}\\d'))::int AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                     '\\+\\d[\\d ]{6,14}\\d', '<PHONE>', 'g') AS clean_text
+            FROM planted ORDER BY doc_id
         """,
         "langid_predict": """
             WITH n AS (

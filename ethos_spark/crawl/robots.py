@@ -53,3 +53,16 @@ def robots_table(
         (host, parse_robots_txt(txt, agent)) for host, txt in per_host_txt.items()
     ]
     return spark.createDataFrame(rows, schemas.ROBOTS)
+
+
+def extract_sitemap_lines(text: str) -> list[str]:
+    """RFC 9309 §2.3 ``Sitemap:`` lines (group-independent, absolute
+    URLs) — the standard bootstrap handoff to the sitemap source
+    (sources/sitemap.discover_seed_urls)."""
+    out: list[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, _, value = line.partition(":")
+        if key.strip().lower() == "sitemap" and value.strip():
+            out.append(value.strip())
+    return out

@@ -301,3 +301,41 @@ def lm_familiarity(
             ).alias("familiarity"),
         )
     )
+
+
+# PII patterns chosen from the common-denominator regex subset that Java
+# (Spark) and RE2 (DuckDB) evaluate identically — simple greedy classes,
+# \b word bounds, no backrefs/lookarounds
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d[\d ]{6,14}\d"
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Training-data PII redaction (the standard pre-release scrub):
+    emails, IPv4 addresses and international-format phone numbers are
+    replaced with typed placeholders; per-document match counts ride
+    along for audit. Pure Column expressions — JVM regex, no UDF, and the
+    patterns sit in the Java∩RE2 subset so a DuckDB oracle reproduces the
+    redaction byte-for-byte.
+
+    Output: (id, n_emails, n_ips, n_phones, clean_text)."""
+    c = F.col(text_col)
+    out = df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_IPV4), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), 0)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(c, PII_EMAIL, "<EMAIL>"),
+                PII_IPV4,
+                "<IP>",
+            ),
+            PII_PHONE,
+            "<PHONE>",
+        ).alias("clean_text"),
+    )
+    return out

@@ -88,3 +88,17 @@ def test_discover_through_fetcher_resolves_indexes(spark):
     )
     rows = extract_sitemap_urls(fetched).collect()
     assert all(r.source_url == "https://b/sitemap.xml" for r in rows)
+
+
+def test_robots_sitemap_lines_bootstrap():
+    from ethos_spark.crawl.robots import extract_sitemap_lines
+
+    txt = (
+        "User-agent: *\nDisallow: /private\n"
+        "Sitemap: https://a.example.org/sitemap.xml\n"
+        "# comment\nsitemap:   https://a.example.org/news.xml.gz\nSitemap:\n"
+    )
+    assert extract_sitemap_lines(txt) == [
+        "https://a.example.org/sitemap.xml",
+        "https://a.example.org/news.xml.gz",
+    ]
