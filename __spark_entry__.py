@@ -523,6 +523,16 @@ def pii_scrub_docs(spark, sf):
     return ts.pii_scrub(planted).orderBy("doc_id")
 
 
+def chunk_docs(spark, sf):
+    """LM training-sample chunking: 64-word windows, stride 48 (overlap
+    16) over the documents corpus — the one-row-in/many-out sequence
+    prep stage, pure Column exprs. Exact DuckDB parity."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return ts.chunk_documents(d, window=64, stride=48).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
 def quality_score(spark, sf):
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
     return ts.quality_features(d).select(
@@ -772,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_dedup": boilerplate_dedup,
         "lm_familiarity_score": lm_familiarity_score,
         "pii_scrub_docs": pii_scrub_docs,
+        "chunk_docs": chunk_docs,
         "token_counts": token_counts,
         "streaming_windowed_events": streaming_windowed_events,
         "streaming_user_totals": streaming_user_totals,
@@ -1290,6 +1301,28 @@ FROM reach GROUP BY src ORDER BY doc_id
                      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
                      '\\+\\d[\\d ]{6,14}\\d', '<PHONE>', 'g') AS clean_text
             FROM planted ORDER BY doc_id
+        """,
+        "chunk_docs": """
+            WITH n AS (
+              SELECT doc_id,
+                     string_split(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       ' ') AS w
+              FROM documents WHERE doc_id < 200
+            ), c AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range((1 + ceil(greatest(length(w) - 64, 0)
+                                        / 48.0))::int),
+                       i -> struct_pack(chunk_idx := i,
+                                        ws := w[i*48+1 : i*48+64]))) AS ch
+              FROM n
+            )
+            SELECT doc_id,
+                   ch.chunk_idx::int AS chunk_idx,
+                   length(ch.ws)::int AS n_words,
+                   array_to_string(ch.ws, ' ') AS chunk_text
+            FROM c ORDER BY doc_id, chunk_idx
         """,
         "langid_predict": """
             WITH n AS (

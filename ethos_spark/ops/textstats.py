@@ -339,3 +339,45 @@ def pii_scrub(
         ).alias("clean_text"),
     )
     return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-sample chunking (sequence packing's first half): each
+    document's whitespace tokens are cut into windows of ``window`` words
+    advancing by ``stride`` (overlap = window - stride, the standard LM
+    data prep shape). The final partial window is kept iff it adds new
+    tokens. Pure Column expressions (sequence + transform + slice): the
+    one-row-in/many-out explode the extraction stages use, no UDF.
+
+    Output: (id, chunk_idx, n_words, chunk_text)."""
+    words = F.split(norm_text(F.col(text_col)), " ")
+    n = F.size(words)
+    # number of windows: 1 + ceil(max(n - window, 0) / stride)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(n - F.lit(window), F.lit(0)) / F.lit(stride)
+        ).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice(words, i * stride + 1, window).alias("w"),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(chunks).alias("c")
+    ).select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.w").alias("n_words"),
+        F.array_join("c.w", " ").alias("chunk_text"),
+    )
+    return exploded
