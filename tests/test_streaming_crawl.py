@@ -118,3 +118,55 @@ def test_streaming_crawl_parity_incremental_and_replay(
     q2.processAllAvailable()
     q2.stop()
     assert Warehouse(spark, wh_path).read("pages").count() == n_after
+
+
+def test_streaming_crawl_through_warc_gateway(spark, tmp_path, corpus_df):
+    """Full production topology in one drive: seed stream -> foreachBatch
+    incremental sessions -> HttpFetcher over a real socket -> WARC-backed
+    gateway resolving URLs via CDX byte ranges. Output identical to the
+    direct corpus crawl of the same seeds."""
+    from ethos_spark.crawl.fetcher import HttpFetcher
+    from ethos_spark.sources.warc import write_warc
+    from tests.corpus_server import WarcGatewayServer
+
+    warc_dir = str(tmp_path / "gw_warc")
+    idx = write_warc(
+        corpus_df.repartition(2, "url"), warc_dir, with_index=True
+    ).collect()
+    cdx = {r.url: (r.file, r.offset, r.length) for r in idx}
+
+    seed_dir = str(tmp_path / "gw_seeds")
+    os.makedirs(seed_dir)
+    wh_path = str(tmp_path / "gw_wh")
+    srv = WarcGatewayServer(cdx).start()
+    try:
+        q = run_crawl_stream(
+            _stream(spark, seed_dir),
+            wh_path,
+            lambda: HttpFetcher(
+                timeout_sec=10.0, delay_sec=0.0, gateway=srv.gateway
+            ),
+            SYNTH_SOURCE,
+            CrawlOptions(),
+            checkpoint=str(tmp_path / "gw_ckpt"),
+        )
+        _drop_seeds(seed_dir, "b0", [listing_url(0, 1)])
+        q.processAllAvailable()
+        _drop_seeds(seed_dir, "b1", [listing_url(1, 1)])
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        srv.stop()
+
+    wh_ref = Warehouse(spark, str(tmp_path / "gw_wh_ref"))
+    r = CrawlRunner(
+        spark, wh_ref, CorpusFetcher(corpus_df), SYNTH_SOURCE, CrawlOptions()
+    )
+    r.seed([listing_url(0, 1), listing_url(1, 1)])
+    r.run()
+
+    key = lambda w: sorted(
+        (x.url, x.content, x.had_extraction_error)
+        for x in w.read("pages").collect()
+    )
+    assert key(Warehouse(spark, wh_path)) == key(wh_ref)
