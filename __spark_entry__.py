@@ -427,6 +427,53 @@ def pagerank_hosts(spark, sf):
     return gr.pagerank_fixed(e, iters=5)
 
 
+def robots_gate_docs(spark, sf):
+    """Robots politeness gate (RFC 9309 subset): candidates built
+    deterministically over documents, per-host disallow dims parsed from
+    REAL robots.txt bodies by crawl/robots.parse_robots_txt (exact-agent
+    group precedence included) — the oracle pins both the parse results
+    and the prefix-gate semantics."""
+    from ethos_spark.crawl.politeness import robots_gate
+    from ethos_spark.crawl.robots import robots_table
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.org"),
+    )
+    seg = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/news/"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("/private/"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("/blog/"))
+        .otherwise(F.lit("/ok/"))
+    )
+    cand = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), host, seg, F.col("doc_id").cast("string")
+        ).alias("url"),
+        host.alias("host"),
+    )
+    robots = robots_table(spark, {
+        "h0.example.org":
+            "User-agent: *\nDisallow: /news\nDisallow: /private\n",
+        # exact-agent group must NOT leak into the * crawl identity
+        "h1.example.org":
+            "User-agent: ethos\nDisallow: /blog\n"
+            "User-agent: *\nDisallow: /news\n",
+        "h2.example.org": "User-agent: *\nDisallow:\n",  # allow all
+        "h3.example.org": "User-agent: *\nDisallow: /blog\n",
+        # h4 has no robots.txt at all -> everything allowed
+    })
+    allowed, blocked = robots_gate(cand, robots)
+    return (
+        allowed.withColumn("blocked", F.lit(False))
+        .unionByName(blocked.withColumn("blocked", F.lit(True)))
+        .select("doc_id", "url", "host", "blocked")
+        .orderBy("doc_id")
+    )
+
+
 def langid_predict(spark, sf):
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
     return ts.predict_lang(d).select(
@@ -775,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_sq_recall": similarity_sq_recall,
         "embedding_near_dup": embedding_near_dup,
         "pagerank_hosts": pagerank_hosts,
+        "robots_gate_docs": robots_gate_docs,
         "langid_predict": langid_predict,
         "langid_ct": langid_ct,
         "quality_score": quality_score,
@@ -1323,6 +1371,33 @@ FROM reach GROUP BY src ORDER BY doc_id
                    length(ch.ws)::int AS n_words,
                    array_to_string(ch.ws, ' ') AS chunk_text
             FROM c ORDER BY doc_id, chunk_idx
+        """,
+        "robots_gate_docs": """
+            WITH cand AS (
+              SELECT doc_id,
+                'https://h' || (doc_id % 5)::varchar || '.example.org' ||
+                CASE doc_id % 4 WHEN 0 THEN '/news/' WHEN 1 THEN '/private/'
+                     WHEN 2 THEN '/blog/' ELSE '/ok/' END ||
+                doc_id::varchar AS url,
+                'h' || (doc_id % 5)::varchar || '.example.org' AS host
+              FROM documents WHERE doc_id < 400
+            ), rules AS (
+              -- the PARSED disallow sets the Spark side must produce from
+              -- the raw robots.txt bodies (exact-agent group excluded on
+              -- h1; empty Disallow ignored on h2; h4 absent)
+              SELECT * FROM (VALUES
+                ('h0.example.org', ['/news', '/private']),
+                ('h1.example.org', ['/news']),
+                ('h2.example.org', []::varchar[]),
+                ('h3.example.org', ['/blog'])
+              ) AS t(host, dis)
+            )
+            SELECT c.doc_id, c.url, c.host,
+                   coalesce(len(list_filter(r.dis,
+                     p -> substr(regexp_replace(c.url, '^https?://[^/]+', ''),
+                                 1, length(p)) = p)) > 0, false) AS blocked
+            FROM cand c LEFT JOIN rules r USING (host)
+            ORDER BY doc_id
         """,
         "langid_predict": """
             WITH n AS (
