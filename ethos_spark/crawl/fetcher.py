@@ -98,6 +98,7 @@ class CorpusFetcher:
         bucketed_table: str | None = None,
         bucket_count: int = 64,
         stage_dir: str | None = None,
+        owns_stage_dir: bool = False,
     ):
         self._corpus = corpus.select("url", "html")
         self._broadcast = broadcast_candidates
@@ -105,6 +106,11 @@ class CorpusFetcher:
         self._bucketed_table = bucketed_table
         self._bucket_count = bucket_count
         self._stage_dir = stage_dir
+        # only delete stage_dir on close() when WE created it (a
+        # caller-supplied dir is user-owned; rmtree'ing it would destroy
+        # their data) — register_bucketed_corpus passes True for its
+        # private tempdir
+        self._owns_stage_dir = owns_stage_dir
         # staged candidate (table, data_dir) pairs, oldest first
         self._stages: list[tuple[str, str]] = []
 
@@ -143,6 +149,7 @@ class CorpusFetcher:
             bucketed_table=name,
             bucket_count=n_buckets,
             stage_dir=tempfile.mkdtemp(prefix="ethos-fetch-stage-"),
+            owns_stage_dir=True,
             **kwargs,
         )
 
@@ -189,7 +196,7 @@ class CorpusFetcher:
             name, path = self._stages.pop(0)
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             shutil.rmtree(path, ignore_errors=True)
-        if self._stage_dir is not None:
+        if self._stage_dir is not None and self._owns_stage_dir:
             shutil.rmtree(self._stage_dir, ignore_errors=True)
 
     def fetch(

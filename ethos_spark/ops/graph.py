@@ -50,6 +50,10 @@ def pagerank_fixed(
         .cache()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty edge set (or all self-loops): no graph → no ranks (keeps
+        # the caller's node column type; avoids scale // 0 below)
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
     deg = e.groupBy(src_col).agg(F.count("*").alias("_deg"))
     ranks = nodes.withColumn("rank", F.lit(scale // n_nodes).cast("long"))
     base = (15 * scale) // (100 * n_nodes)

@@ -23,20 +23,41 @@ from pyspark.sql import DataFrame
 
 _NS = re.compile(r"\{[^}]*\}")  # strip xmlns prefixes
 
+# Untrusted-input bounds: a sitemap is web content fetched from arbitrary
+# hosts, so inflation and entity expansion must be capped executor-side.
+MAX_INFLATED_BYTES = 64 * 1024 * 1024  # sitemaps.org caps files at 50 MB
+_DTD_TOKEN = re.compile(rb"<!(?:DOCTYPE|ENTITY)", re.IGNORECASE)
+
 
 def parse_sitemap_bytes(body: bytes) -> list[tuple[str, str, str | None]]:
     """One sitemap document → [(url, kind, lastmod)]; kind is 'page' for
     <urlset> entries, 'sitemap' for <sitemapindex> children. Gzipped
-    bodies (the .xml.gz convention) are inflated transparently.
-    Malformed XML yields [] (a fetch-quarantine case, not a crash)."""
+    bodies (the .xml.gz convention) are inflated transparently, capped at
+    ``MAX_INFLATED_BYTES`` (a .xml.gz bomb returns [] instead of OOMing
+    the task). DTDs / entity declarations are rejected outright
+    (billion-laughs / quadratic-blowup guard — the sitemap protocol never
+    needs them). Malformed XML yields [] (a fetch-quarantine case, not a
+    crash)."""
     import gzip
     import xml.etree.ElementTree as ET
 
     if body[:2] == b"\x1f\x8b":
         try:
-            body = gzip.GzipFile(fileobj=io.BytesIO(body)).read()
+            # bounded streaming inflate: never materialize more than the cap
+            body = gzip.GzipFile(fileobj=io.BytesIO(body)).read(
+                MAX_INFLATED_BYTES + 1
+            )
         except OSError:
             return []
+        if len(body) > MAX_INFLATED_BYTES:
+            return []
+
+    # defusedxml-style pre-check: the sitemap protocol never uses DTDs, so
+    # any DOCTYPE/ENTITY token means a hostile or broken document — reject
+    # before expat ever sees it (the C XMLParser exposes no EntityDecl
+    # hook to abort from inside the parse)
+    if _DTD_TOKEN.search(body):
+        return []
     try:
         root = ET.fromstring(body)
     except ET.ParseError:

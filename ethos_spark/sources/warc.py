@@ -48,7 +48,19 @@ def record_id(url: str) -> str:
     return f"<urn:uuid:{uuid.uuid5(_URN_NS, url)}>"
 
 
+def _safe_uri(url: str) -> str:
+    """WARC headers are CRLF-framed: a crawled URL containing control
+    characters could otherwise terminate the header line early and forge
+    arbitrary WARC headers in the archive. Percent-encode ASCII controls
+    (incl. CR/LF) — the canonical escaping for illegal URI characters."""
+    return "".join(
+        f"%{b:02X}" if b < 0x21 or b == 0x7F else chr(b)
+        for b in url.encode("utf-8", "surrogateescape")
+    )
+
+
 def _encode_record(url: str, payload: bytes, warc_date: str) -> bytes:
+    url = _safe_uri(url)
     head = (
         "WARC/1.1\r\n"
         "WARC-Type: response\r\n"
@@ -117,8 +129,11 @@ def write_warc(
         idx_off: list[int] = []
         idx_len: list[int] = []
         with open(path, "wb") as f:
+            # rows arrive url-sorted across ALL Arrow batches (the
+            # sortWithinPartitions below) — a per-batch sort here would
+            # silently break file-level ordering (and the CDX/byte-replay
+            # contract) once a partition spans >1 Arrow batch
             for pdf in batches:
-                pdf = pdf.sort_values(url_col)
                 for url, payload in zip(pdf[url_col], pdf[payload_col]):
                     if payload is None:
                         continue
@@ -148,7 +163,14 @@ def write_warc(
                 {"file": [path], "n_records": [n], "n_bytes": [total]}
             )
 
-    return df.select(url_col, payload_col).mapInPandas(run, out_schema)
+    return (
+        df.select(url_col, payload_col)
+        # partition-wide external sort (spill-aware, not per-Arrow-batch)
+        # so each segment file is globally url-ordered → deterministic
+        # bytes and stable CDX offsets at any partition size
+        .sortWithinPartitions(url_col)
+        .mapInPandas(run, out_schema)
+    )
 
 
 def read_warc_record(file: str, offset: int, length: int) -> tuple[str, bytes]:

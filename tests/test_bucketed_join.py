@@ -54,3 +54,19 @@ def test_bucketed_fetch_join_is_shuffle_free(spark):
     cand.write.mode("overwrite").saveAsTable("cand_p")
     control = spark.table("corpus_p").join(spark.table("cand_p"), "url")
     assert count_exchanges(control) >= 2
+
+
+def test_close_keeps_caller_supplied_stage_dir(spark, tmp_path):
+    """ADVICE r4: close() must only rmtree a stage_dir the fetcher itself
+    created (register_bucketed_corpus tempdir) — never a user-owned one."""
+    from ethos_spark.crawl.fetcher import CorpusFetcher
+
+    user_dir = tmp_path / "user_owned_stage"
+    user_dir.mkdir()
+    (user_dir / "keep.txt").write_text("user data")
+    corpus = spark.createDataFrame(
+        [("https://h/1", bytearray(b"<html>"))], "url string, html binary"
+    )
+    f = CorpusFetcher(corpus, stage_dir=str(user_dir))
+    f.close()
+    assert (user_dir / "keep.txt").read_text() == "user data"

@@ -40,3 +40,14 @@ def test_rank_mass_bounded_and_deterministic(spark):
     assert a == b
     total = sum(r for _n, r in a)
     assert 0 < total <= 1_000_000_000_000  # floor losses only shrink mass
+
+
+def test_empty_and_self_loop_only_graphs(spark):
+    """ADVICE r4: scale // n_nodes must not ZeroDivisionError when the
+    edge set is empty or all edges are self-loops."""
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank_fixed(empty, iters=2).collect() == []
+    loops = spark.createDataFrame(
+        [("a", "a"), ("b", "b")], "src string, dst string"
+    )
+    assert pagerank_fixed(loops, iters=2).collect() == []

@@ -102,3 +102,27 @@ def test_robots_sitemap_lines_bootstrap():
         "https://a.example.org/sitemap.xml",
         "https://a.example.org/news.xml.gz",
     ]
+
+
+def test_entity_expansion_and_gzip_bomb_rejected():
+    """ADVICE r4: untrusted-input hardening — DTD/entity declarations and
+    oversized .xml.gz inflation quarantine to [] instead of OOMing."""
+    from ethos_spark.sources import sitemap as sm
+
+    laughs = (
+        b'<?xml version="1.0"?><!DOCTYPE lolz ['
+        b'<!ENTITY lol "lol"><!ENTITY lol2 "&lol;&lol;&lol;&lol;&lol;">'
+        b']><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><loc>https://a/&lol2;</loc></url></urlset>"
+    )
+    assert sm.parse_sitemap_bytes(laughs) == []
+    # any DOCTYPE at all is rejected (defusedxml-style), even inert ones
+    doctype = b'<!DOCTYPE urlset SYSTEM "x.dtd">' + _urlset(["https://a/1"])
+    assert sm.parse_sitemap_bytes(doctype) == []
+    # gzip bomb: tiny compressed, inflates past the cap -> []
+    bomb = gzip.compress(b"0" * (sm.MAX_INFLATED_BYTES + 1024), 9)
+    assert len(bomb) < 1 << 20
+    assert sm.parse_sitemap_bytes(bomb) == []
+    # a legitimate gzipped sitemap still parses
+    ok = gzip.compress(_urlset(["https://a/ok"]))
+    assert sm.parse_sitemap_bytes(ok)[0][0] == "https://a/ok"

@@ -158,3 +158,50 @@ def test_http_crawl_through_warc_gateway(spark, tmp_path, corpus_df):
         for x in w.read("pages").collect()
     )
     assert key(wh) == key(wh_ref)
+
+
+def test_partition_order_survives_multiple_arrow_batches(spark, tmp_path, corpus_df):
+    """ADVICE r4: file-level url order must hold across Arrow batch
+    boundaries (partition-wide sort, not per-batch) — otherwise CDX
+    offsets and byte-identical replay silently break at scale."""
+    from ethos_spark.sources.warc import _parse_members
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        out = str(tmp_path / "warc_mb")
+        # single partition, 45 rows -> ~7 Arrow batches per partition;
+        # shuffle by a NON-url key so batches arrive url-unsorted
+        manifest = write_warc(
+            corpus_df.repartition(1, F.crc32(F.col("html"))), out
+        ).collect()
+        assert len(manifest) == 1 and manifest[0].n_records == corpus_df.count()
+        with open(manifest[0].file, "rb") as f:
+            urls = [u for u, _d, _r, _p in _parse_members(f.read())]
+        assert urls == sorted(urls)  # globally ordered within the file
+        assert len(urls) == corpus_df.count()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_crlf_url_cannot_forge_warc_headers(spark, tmp_path):
+    """ADVICE r4: a crawled URL containing CR/LF must not break record
+    framing or inject forged WARC headers."""
+    from ethos_spark.sources.warc import _parse_members
+
+    evil = "https://a/x\r\nWARC-Type: evil\r\nX-Forged: 1"
+    df = spark.createDataFrame(
+        [(evil, bytearray(b"payload-bytes")), ("https://a/ok", bytearray(b"fine"))],
+        "url string, html binary",
+    )
+    out = str(tmp_path / "warc_evil")
+    write_warc(df.repartition(1), out).collect()
+    back = {r.url: bytes(r.html) for r in read_warc(spark, out).collect()}
+    # framing intact: both records survive, payloads exact
+    assert back["https://a/ok"] == b"fine"
+    assert back["https://a/x%0D%0AWARC-Type:%20evil%0D%0AX-Forged:%201"] == b"payload-bytes"
+    # no forged header LINE escaped into any record's header block (the
+    # encoded URI still contains the literal text, but never after CRLF)
+    import glob
+    raw = gzip.decompress(open(glob.glob(out + "/*.warc.gz")[0], "rb").read())
+    assert b"\r\nX-Forged" not in raw and b"\r\nWARC-Type: evil" not in raw
