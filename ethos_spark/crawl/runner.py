@@ -72,6 +72,36 @@ class CrawlOptions:
     # politeness choice for live sites, pointless against a corpus).
     max_fetch_attempts: int = 3
     retry_backoff_sec: float = 0.0
+    # frontier prioritization (north_rule: a 10^10-URL frontier is a
+    # PRIORITIZED crawl, not FIFO): when True, integer PageRank over the
+    # session's discovered host link graph (link_edges state table,
+    # listing_host → item_host) feeds the frontier ``priority`` column
+    # each round (priority = -rank, so authoritative hosts sort first)
+    # and prefixes the processed_order total order. Ranks are exact
+    # int64 fixed-point (ops/graph.py) → the schedule is deterministic
+    # and resumable. Off by default: zero extra jobs, byte-identical
+    # behavior to prior rounds.
+    prioritize_by_rank: bool = False
+    rank_iters: int = 3
+    # per-host robots.txt acquisition: on first discovery of a host,
+    # fetch https://host/robots.txt through the session's Fetcher
+    # (content stage → pooled, politeness-EXEMPT — robots must be
+    # readable before any page of the host is), parse Disallow groups
+    # into the robots_rules state table (cached per session: one fetch
+    # per host, resume-safe because the table is snapshot state), gate
+    # candidates with the merged dim, and bootstrap robots ``Sitemap:``
+    # lines through sources.sitemap.discover_seed_urls into the next
+    # round's content frontier. Off by default (static ``robots`` dim
+    # passed to the runner keeps working either way).
+    fetch_robots: bool = False
+    # global per-round candidate budget: cap content fetches per round
+    # ACROSS hosts — deterministic top-K by (priority, depth, host,
+    # listing_order, url_hash) via the same two-phase range-partition
+    # scheme as processed_order (no single-partition sort, no driver
+    # collect); overflow carries to the next round's frontier. Bounds
+    # round size — and therefore driver round latency — regardless of
+    # frontier growth. None = unbounded (per-host budget only).
+    round_content_budget: int | None = None
 
 
 @dataclass
@@ -257,6 +287,12 @@ class CrawlRunner:
                 self.spark.createDataFrame([], schemas.HOST_OFFSETS),
                 force_parquet=True,
             )
+        if self.opt.fetch_robots:
+            # robots cache is SESSION state (a recrawl session re-reads
+            # robots.txt — rules change between crawls); resume() keeps it
+            self.wh.replace(
+                "robots_rules", self.spark.createDataFrame([], schemas.ROBOTS)
+            )
         self.wh.set_prop("session_id", self.session_id)
         self.wh.set_prop("round", "0")
         self.wh.set_prop("order_offset", "0")
@@ -281,6 +317,84 @@ class CrawlRunner:
         s = json.loads(p["summary"])
         s.pop("items_found", None)
         self.summary = CrawlSummary(**s)
+
+    # -- per-host robots.txt stage (option) ---------------------------------
+
+    def _refresh_robots(self, hosts_df: DataFrame) -> list[str]:
+        """Fetch + parse robots.txt for hosts seen for the FIRST time this
+        session (anti-join against the robots_rules state table), append
+        their Disallow prefixes to the table (a fetch miss caches an empty
+        rule set so the host is never re-fetched), and return the
+        ``Sitemap:`` lines found — each new host's lines surface exactly
+        once per session. The fetch runs through the session Fetcher at
+        content stage: pooled, no politeness delay (robots documents must
+        be readable before any page of the host is fetched)."""
+        known = self.wh.read("robots_rules", schemas.ROBOTS).select("host")
+        new_hosts = (
+            hosts_df.select("host").distinct().join(known, "host", "left_anti")
+        ).cache()
+        try:
+            if not new_hosts.take(1):
+                return []
+            reqs = new_hosts.select(
+                F.concat(
+                    F.lit("https://"), F.col("host"), F.lit("/robots.txt")
+                ).alias("url"),
+                "host",
+            )
+            fetched = self.fetcher.fetch(reqs, stage="content").where(
+                F.col("html").isNotNull()
+            )
+
+            def parse(batches):
+                import pandas as pd
+
+                from ethos_spark.crawl.robots import (
+                    extract_sitemap_lines,
+                    parse_robots_txt,
+                )
+
+                for pdf in batches:
+                    hs, dis, sms = [], [], []
+                    for host, body in zip(pdf["host"], pdf["html"]):
+                        if body is None:
+                            continue
+                        txt = (
+                            bytes(body) if not isinstance(body, str) else body.encode()
+                        ).decode("utf-8", "replace")
+                        hs.append(host)
+                        dis.append(parse_robots_txt(txt))
+                        sms.append(extract_sitemap_lines(txt))
+                    yield pd.DataFrame(
+                        {"host": hs, "disallow": dis, "sitemaps": sms}
+                    )
+
+            parsed = fetched.select("host", "html").mapInPandas(
+                parse,
+                "host string, disallow array<string>, sitemaps array<string>",
+            ).cache()
+            try:
+                # every ATTEMPTED host gets a row (miss → empty disallow):
+                # the cache key is "host was fetched", not "host had rules"
+                rules = new_hosts.join(
+                    parsed.select("host", "disallow"), "host", "left"
+                ).select(
+                    "host",
+                    F.coalesce(
+                        "disallow", F.array().cast("array<string>")
+                    ).alias("disallow"),
+                )
+                self.wh.append("robots_rules", rules)
+                return [
+                    r.u
+                    for r in parsed.select(F.explode("sitemaps").alias("u"))
+                    .distinct()
+                    .collect()
+                ]
+            finally:
+                parsed.unpersist()
+        finally:
+            new_hosts.unpersist()
 
     # -- the round ----------------------------------------------------------
 
@@ -324,6 +438,45 @@ class CrawlRunner:
         # of a full no-op round (~5 s of fixed stage latency saved)
         if listing_hint == 0 and carry_hint == 0:
             return False
+
+        # ---- PageRank frontier priority (option) ---------------------------
+        # ranks over the accumulated host link graph, refreshed per round;
+        # host-level → the dim is tiny and broadcast into one left join.
+        # Round 1 has no edges yet → empty ranks → every priority 0.0.
+        rank_dim = None
+        if opt.prioritize_by_rank:
+            from ethos_spark.ops.graph import pagerank_fixed
+
+            edges = self.wh.read("link_edges", schemas.LINK_EDGES)
+            ranks = pagerank_fixed(
+                edges,
+                iters=opt.rank_iters,
+                src_col="src_host",
+                dst_col="dst_host",
+            )
+            # priority = -rank: int64 micro-unit ranks are < 2^53, so the
+            # double is EXACT and the schedule stays deterministic
+            rank_dim = ranks.select(
+                F.col("node").alias("host"),
+                (-F.col("rank")).cast("double").alias("_rank_pri"),
+            )
+
+        def _rank_priority(df: DataFrame) -> DataFrame:
+            """Override the stored priority column with the current ranks
+            (unranked hosts keep 0.0 — they sort after ranked ones)."""
+            if rank_dim is None:
+                return df
+            cols = df.columns
+            return (
+                df.drop("priority")
+                .join(F.broadcast(rank_dim), "host", "left")
+                .withColumn(
+                    "priority", F.coalesce(F.col("_rank_pri"), F.lit(0.0))
+                )
+                .select(*cols)
+            )
+
+        listing_batch = _rank_priority(listing_batch)
 
         # ---- listing pass --------------------------------------------------
         # one page per host per round (the reference's sequential chain)
@@ -701,14 +854,105 @@ class CrawlRunner:
             F.col("item_index").cast("long").alias("listing_order"),
             "title", "author", "published_date",
         )
-        candidates = content_carry.unionByName(to_fetch_new)
+        candidates = _rank_priority(
+            content_carry.unionByName(to_fetch_new)
+        )
+
+        # ---- robots acquisition (option) -----------------------------------
+        # fetch+parse robots.txt for every host seen for the first time
+        # this round (listing seeds AND newly discovered item hosts), then
+        # gate below with the merged dim. Sitemap: lines found in the new
+        # robots bodies bootstrap extra content candidates further down.
+        sitemap_lines: list = []
+        robots_dim = self.robots
+        if opt.fetch_robots:
+            sitemap_lines = self._refresh_robots(
+                lkeys.select("host").unionByName(candidates.select("host"))
+            )
+            fetched_rules = self.wh.read("robots_rules", schemas.ROBOTS)
+            robots_dim = (
+                fetched_rules
+                if self.robots is None
+                else fetched_rules.unionByName(self.robots)
+            )
 
         scheduled, content_overflow = politeness_topk(
             candidates,
             opt.per_host_budget,
             ["depth", "listing_order", "url_hash"],
         )
-        allowed, blocked = robots_gate(scheduled, self.robots)
+        # ---- global round budget (option): top-K across hosts --------------
+        # the per-host cap bounds any ONE domain; this bounds the ROUND.
+        # Same two-phase range-partition sequencer as processed_order (two
+        # jobs over light rows, no global sort, no driver collect) — the
+        # cut is a deterministic function of (priority, depth, host,
+        # listing_order, url_hash), so a resumed session makes the same cut.
+        if opt.round_content_budget is not None:
+            seqd = assign_sequential_order(
+                scheduled,
+                ["priority", "depth", "host", "listing_order", "url_hash"],
+                col_name="_gseq",
+                n_parts=max(
+                    1,
+                    min(
+                        spark.sparkContext.defaultParallelism * 2,
+                        -(-(n_page_items + (carry_hint or 0)) // 20_000),
+                    ),
+                ),
+                cleanup=round_caches,
+            )
+            deferred = seqd.where(
+                F.col("_gseq") > opt.round_content_budget
+            ).drop("_gseq")
+            scheduled = seqd.where(
+                F.col("_gseq") <= opt.round_content_budget
+            ).drop("_gseq")
+            content_overflow = content_overflow.unionByName(
+                deferred.select(*schemas.FRONTIER.names)
+            )
+        allowed, blocked = robots_gate(scheduled, robots_dim)
+
+        # ---- sitemap bootstrap (rides the robots option) -------------------
+        # resolve the new hosts' Sitemap: lines to page URLs through the
+        # same Fetcher (sources/sitemap.py handles urlset / sitemapindex /
+        # .xml.gz recursion) and inject them as next round's content
+        # candidates — robots-gated and deduped against stored pages, this
+        # round's schedule, and the carried frontier.
+        sitemap_inject = None
+        if sitemap_lines:
+            from ethos_spark.sources.sitemap import discover_seed_urls
+
+            discovered = discover_seed_urls(
+                spark, self.fetcher, sitemap_lines
+            )
+            inj = (
+                self._with_url_cols(discovered.select("url"))
+                .withColumn("depth", F.lit(1))
+                .withColumn("priority", F.lit(0.0))
+                .withColumn("discovered_ts", F.lit(self.start_time))
+                .withColumn("state", F.lit("pending"))
+                .withColumn("attempts", F.lit(0))
+                .withColumn("source_id", F.lit(self.config.id))
+                .withColumn("kind", F.lit("content"))
+                .withColumn("listing_order", F.lit(0).cast("long"))
+                .withColumn("title", F.lit(None).cast("string"))
+                .withColumn("author", F.lit(None).cast("string"))
+                .withColumn("published_date", F.lit(None).cast("string"))
+                .dropDuplicates(["url_hash"])
+            )
+            inj, _ = robots_gate(inj, robots_dim)
+            if opt.skip_existing_urls and seen_count > 0:
+                inj = inj.join(
+                    self.wh.read("pages", schemas.PAGES_OUT).select("url_hash"),
+                    "url_hash",
+                    "left_anti",
+                )
+            inj = inj.join(
+                scheduled.select("url_hash"), "url_hash", "left_anti"
+            ).join(
+                content_overflow.select("url_hash"), "url_hash", "left_anti"
+            )
+            sitemap_inject = inj.select(*schemas.FRONTIER.names)
         tick("driver stop logic")
 
         # ---- fetch + extract (the hot path) ---------------------------------
@@ -771,9 +1015,18 @@ class CrawlRunner:
                 -(-n_cand_hint // 20_000),  # ceil div
             ),
         )
+        # with rank priority on, high-value hosts lead the total order —
+        # the observable contract of the prioritized crawl (processed_order
+        # IS the schedule); off, the order is byte-identical to prior rounds
+        if opt.prioritize_by_rank:
+            order_sel = ["url_hash", "depth", "host", "listing_order", "priority"]
+            order_keys = ["priority", "depth", "host", "listing_order", "url_hash"]
+        else:
+            order_sel = ["url_hash", "depth", "host", "listing_order"]
+            order_keys = ["depth", "host", "listing_order", "url_hash"]
         ordered_light = assign_sequential_order(
-            allowed.select("url_hash", "depth", "host", "listing_order"),
-            ["depth", "host", "listing_order", "url_hash"],
+            allowed.select(*order_sel),
+            order_keys,
             offset=offset,
             n_parts=order_parts,
             cleanup=cleanup,
@@ -949,6 +1202,13 @@ class CrawlRunner:
         # window + anti-join against prior rounds) — append as-is, no
         # distinct shuffle.
         seen_sess_df = session_new.select("url_hash")
+        if sitemap_inject is not None:
+            # sitemap-injected candidates are queued work: a later LISTING
+            # discovery of the same url must dedup against them (they are
+            # not in stored pages until their fetch round commits)
+            seen_sess_df = seen_sess_df.unionByName(
+                sitemap_inject.select("url_hash")
+            )
 
         # A5 listing side: per-field extraction stats aggregated from the
         # per-page struct arrays lres carries (ListingPageExtractor.ts:
@@ -1114,6 +1374,8 @@ class CrawlRunner:
         new_pending = listing_overflow.unionByName(next_df).unionByName(
             content_overflow
         )
+        if sitemap_inject is not None:
+            new_pending = new_pending.unionByName(sitemap_inject)
         # count the pending set BY KIND inside the write action itself
         # (Observation = zero extra jobs) — next round's broadcast gate
         from pyspark.sql import Observation
@@ -1153,6 +1415,22 @@ class CrawlRunner:
             ("host_state", host_stops_df),
             ("field_stats", lfs_df),
         ]
+        if opt.prioritize_by_rank:
+            # accumulate this round's observed cross-host links (distinct
+            # per round; host-level, so the append is metadata-sized).
+            # Same-host links are dropped — pagerank_fixed discards
+            # self-loop edges anyway, so they carry zero signal.
+            phase_a.append(
+                (
+                    "link_edges",
+                    valid_items.select(
+                        F.col("listing_host").alias("src_host"),
+                        F.col("host").alias("dst_host"),
+                    )
+                    .where(F.col("src_host") != F.col("dst_host"))
+                    .distinct(),
+                )
+            )
         with ThreadPoolExecutor(max_workers=8) as ex:
             futs = [ex.submit(self.wh.append, t, df) for t, df in phase_a]
             fut_frontier = ex.submit(
@@ -1163,7 +1441,7 @@ class CrawlRunner:
             # side) — at bench scale this hides ~2 s of light-job latency
             # behind the content fetch/extract/write
             written_dirs, missed_out, n_stored, n_errors = _heavy_pass()
-            n_blocked = blocked.count() if self.robots is not None else 0
+            n_blocked = blocked.count() if robots_dim is not None else 0
             tick("fetch+extract+write pages (listing writes overlapped)")
 
             self.summary.contents_crawled += n_stored
@@ -1254,8 +1532,15 @@ class CrawlRunner:
             "seen_count", str(int(self.wh.props.get("seen_count", "0")) + n_stored)
         )
         # upper bound; only its zero/non-zero state gates the anti-join skip
+        # (the +1 marks sitemap-injected rows in seen_session even on a
+        # round with zero listing items)
         self.wh.set_prop(
-            "session_seen_count", str(sess_seen_count + n_page_items)
+            "session_seen_count",
+            str(
+                sess_seen_count
+                + n_page_items
+                + (1 if sitemap_inject is not None else 0)
+            ),
         )
         self.wh.set_prop("summary", self.summary.to_json())
         self._write_session_row(ended=False)

@@ -182,3 +182,14 @@ ROBOTS = StructType(
         StructField("disallow", ArrayType(StringType())),
     ]
 )
+
+# host-level link graph accumulated during a crawl (listing host → item
+# host, distinct per round) — input to the PageRank frontier-priority
+# option. Host-level by design: bounded by hosts², metadata-sized
+# relative to the url frontier at any corpus scale.
+LINK_EDGES = StructType(
+    [
+        StructField("src_host", StringType()),
+        StructField("dst_host", StringType()),
+    ]
+)
