@@ -549,6 +549,25 @@ def ivf_store_topk(
     )
 
 
+def _sq8_code(vec_col: str):
+    """Column expr: v → round(127 · v/||v||) ∈ [-127, 127] (symmetric
+    int8 codes of the unit vector — one global scale, no per-dim affine
+    terms, so integer dots stay ∝ cosine)."""
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x / F.greatest(nrm, F.lit(1e-12)) * 127.0).cast(
+            "int"
+        ),
+    )
+
+
 def sq8_quantize(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -561,20 +580,7 @@ def sq8_quantize(
     up to quantization noise. 4× (float32) / 8× (float64) storage
     reduction; at 10^9+ vectors the codes ARE the serving store and the
     full-precision vectors stay cold."""
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(vec_col), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    code = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x / F.greatest(nrm, F.lit(1e-12)) * 127.0).cast(
-            "int"
-        ),
-    )
-    return emb.select(F.col(id_col), code.alias("code"))
+    return emb.select(F.col(id_col), _sq8_code(vec_col).alias("code"))
 
 
 def sq8_topk(
@@ -631,6 +637,140 @@ def sq8_topk(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
     nv = vecs.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    refined = (
+        shortlist.join(F.broadcast(qv), "q_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
+
+
+def write_sq8_ivf_store(
+    emb: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """int8 code store in the IVF layout — the two compressions COMPOSE:
+    IVF partition pruning cuts the directories a probe opens, SQ cuts the
+    bytes per row inside them (4-8× vs full precision). At 10^9 vectors
+    this is the serving store: a probe reads nprobe/K of the directories,
+    each holding only codes; full-precision vectors stay in the cold
+    float store and are touched only by the shortlist refine. One shuffle
+    at ingest (repartition by list) buys one directory per list, same as
+    write_ivf_store."""
+    spark = emb.sparkSession
+    assign = _assign_udf(spark, centroids)
+    (
+        emb.select(
+            F.col(id_col),
+            _sq8_code(vec_col).alias("code"),
+            assign(F.col(vec_col)).alias("_list"),
+        )
+        .repartition("_list")
+        .write.mode("overwrite")
+        .partitionBy("_list")
+        .parquet(path)
+    )
+
+
+def sq8_ivf_topk(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    refine_with: DataFrame | None = None,
+    shortlist_frac: float = 0.05,
+    min_candidates: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k served from the partitioned int8 code store (VERDICT r4
+    item 3 — the composition that removes sq8_topk's flat-scan weakness):
+
+    1. probe lists are picked driver-side from the centroids, and the
+       ``_list IN (...)`` filter is a PARTITION filter — only the probed
+       directories of the CODE store are listed/read (plan-asserted in
+       tests/test_similarity_store.py);
+    2. the coarse rank is the exact integer dot of int8 codes over those
+       pruned rows only;
+    3. the shortlist width SCALES WITH THE PROBED-LIST SIZE —
+       ``max(min_candidates, shortlist_frac · probed_rows)`` instead of a
+       fixed 5k multiple — so a 100× larger/tighter corpus widens the
+       shortlist proportionally and the quantization-noise band cannot
+       silently swallow true neighbors (the fixed-multiplier recall
+       cliff). The sizing count runs on the pruned scan (parquet
+       row-group metadata, no data read);
+    4. ``refine_with`` joins the shortlist back to full-precision vectors
+       for exact-cosine final ordering (queries carry their own
+       full-precision vectors).
+    """
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    probe_rows = []
+    q_vec_rows = []
+    needed: set[int] = set()
+    for q_id, vec in queries:
+        v = np.asarray(vec, dtype=np.float64)
+        u = v / max(np.linalg.norm(v), 1e-12)
+        q_code = [int(x) for x in np.rint(u * 127.0)]
+        q_vec_rows.append((int(q_id), [float(x) for x in vec]))
+        sims = cn @ u
+        order = np.lexsort((np.arange(len(sims)), -sims))[:nprobe]
+        for li in order:
+            probe_rows.append((int(q_id), q_code, int(li)))
+            needed.add(int(li))
+    probes = spark.createDataFrame(
+        probe_rows, "q_id long, q_code array<int>, _list int"
+    )
+    scan = spark.read.parquet(path).where(F.col("_list").isin(sorted(needed)))
+    n_probed = scan.count()  # metadata-only over the pruned partitions
+    n_cand = max(
+        min_candidates if min_candidates is not None else 4 * k,
+        int(shortlist_frac * n_probed),
+    )
+    pairs = scan.join(F.broadcast(probes), "_list").where(
+        F.col(id_col) != F.col("q_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("code", "q_code", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    coarse = pairs.select(
+        "q_id", F.col(id_col).alias("neighbor_id"), dot.alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    if refine_with is None:
+        return (
+            coarse.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .orderBy("q_id", "rank")
+        )
+    shortlist = (
+        coarse.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n_cand)
+        .select("q_id", "neighbor_id")
+    )
+    qv = spark.createDataFrame(q_vec_rows, "q_id long, q_vec array<double>")
+    nv = refine_with.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
     )
     refined = (

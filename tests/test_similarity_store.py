@@ -100,3 +100,64 @@ def test_sq8_quantize_and_refined_recall(spark, emb):
     )
     out = ann_recall_check(emb, qids, refined, k=5, min_recall=0.8).collect()
     assert out[0].recall_ok, out
+
+
+def test_sq8_ivf_composition_pruned_scan_scaled_shortlist(spark, tmp_path, emb):
+    """VERDICT r4 item 3: the int8 code store in the IVF layout — probe
+    prunes PARTITIONS of the code store (plan-asserted), the shortlist
+    scales with probed-list size, and recall@10 >= 0.9 holds on a 10×
+    corpus (where sq8_topk's fixed 5k multiplier was the flagged cliff)."""
+    from ethos_spark.ops.similarity import (
+        ann_recall_check,
+        sq8_ivf_topk,
+        write_sq8_ivf_store,
+    )
+
+    # 10× corpus: shifted id copies re-clustered by with_cluster_structure
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    big = with_cluster_structure(
+        spark.range(10)
+        .crossJoin(base)
+        .select(
+            (F.col("vec_id") + F.col("id") * 100000).alias("vec_id"),
+            "embedding",
+        ),
+        n_clusters=8,
+    ).cache()
+    n_rows = big.count()
+    assert n_rows == 10 * base.count()
+
+    cents = kmeans_centroids(big, n_clusters=8, iters=3)
+    path = str(tmp_path / "sq8_ivf_store")
+    write_sq8_ivf_store(big, path, cents)
+
+    qids = list(range(10))
+    queries = [
+        (r.vec_id, list(r.embedding))
+        for r in big.where(F.col("vec_id").isin(qids)).collect()
+    ]
+    got = sq8_ivf_topk(
+        spark, path, cents, queries, k=10, nprobe=3, refine_with=big
+    )
+    plan = formatted_plan(got)
+    assert "PartitionFilters" in plan and "_list" in plan, plan
+    # fewer directories actually READ than the store holds (executed
+    # input_file_name is pruning ground truth; .inputFiles() lists the
+    # unfiltered relation)
+    n_all = spark.read.parquet(path).select(
+        F.input_file_name()
+    ).distinct().count()
+    n_pruned = (
+        spark.read.parquet(path)
+        .where(F.col("_list").isin([0, 1, 2]))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert n_pruned < n_all and n_pruned <= 3 * (n_all // 8 + 1)
+    out = ann_recall_check(big, qids, got, k=10, min_recall=0.9).collect()
+    assert out[0].recall_ok, out
+    # the store really holds int8-range codes, not floats
+    r0 = spark.read.parquet(path).first()
+    assert all(-127 <= c <= 127 for c in r0.code)
+    big.unpersist()
