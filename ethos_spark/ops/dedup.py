@@ -168,6 +168,94 @@ def _sig_udf():
     return sig
 
 
+def _docsets_sigs(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, text) → (doc_id, n_sh, shs, mh): normalized word n-gram
+    shingle SET + minhash signature in one groupBy (the signature pass —
+    the dominant cost of the dedup pipeline at corpus scale)."""
+    words = F.split(normalized(F.col(text_col)), " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    shingle_rows = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle")
+    ).select("doc_id", h56(F.col("shingle")).alias("sh"))
+    docsets = shingle_rows.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shs")
+    )
+    return docsets.select(
+        "doc_id",
+        F.size("shs").alias("n_sh"),
+        "shs",
+        _sig_udf()(F.col("shs")).alias("mh"),
+    )
+
+
+class SignatureStore:
+    """Incremental MinHash signature store (VERDICT r4 item 4): a parquet
+    table keyed by CONTENT digest holding (digest → shingle set +
+    signature), the same persist-once pattern as similarity.CentroidStore.
+
+    At 100 TB the signature pass (normalize → shingle → 64 splitmix64
+    mixes over every token) dwarfs the pair join, and content digests
+    change only for new or edited documents — so a standing dedup
+    pipeline should pay the kernel once per unique content version, not
+    once per invocation. ``signatures_for`` computes the kernel ONLY for
+    digests absent from the store (appended inside that one write job);
+    the per-doc plan it returns always joins the caller's (doc_id,
+    digest) keys against the store table, so a run over an unchanged
+    corpus launches zero signature-kernel tasks (pytest pins this by
+    poisoning the kernel factory on the second run) and
+    ``minhash_lsh_pairs`` output is byte-identical either way.
+
+    The digest keys (N_HASHES, n, text), so changing shingle width or
+    signature length can never serve stale entries."""
+
+    SCHEMA = "digest string, n_sh int, shs array<bigint>, mh array<bigint>"
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _read(self) -> DataFrame:
+        import os
+
+        if not os.path.isdir(self.path):
+            return self.spark.createDataFrame([], self.SCHEMA)
+        return self.spark.read.schema(self.SCHEMA).parquet(self.path)
+
+    def signatures_for(
+        self, df: DataFrame, id_col: str, text_col: str, n: int = 5
+    ) -> DataFrame:
+        keyed = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.sha1(
+                F.encode(
+                    F.concat(
+                        F.lit(f"mh{N_HASHES}:n{n}:"), F.col(text_col)
+                    ),
+                    "UTF-8",
+                )
+            ).alias("digest"),
+            F.col(text_col).alias("_text"),
+        )
+        known = self._read().select("digest")
+        misses = keyed.join(known, "digest", "left_anti").dropDuplicates(
+            ["digest"]
+        )
+        if misses.take(1):
+            # kernel runs HERE only — one append job over unseen digests
+            _docsets_sigs(misses, "digest", "_text", n).withColumnRenamed(
+                "doc_id", "digest"
+            ).write.mode("append").parquet(self.path)
+        return keyed.join(self._read(), "digest").select(
+            "doc_id", "n_sh", "shs", "mh"
+        )
+
+
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
     """k fully-mixed splitmix64 rehashes min-aggregated per doc — one
     shuffle, then the Arrow-batched numpy kernel over each doc's shingle
@@ -258,6 +346,7 @@ def minhash_lsh_pairs(
     n: int = 5,
     threshold: float = 0.8,
     max_bucket: int | None = None,
+    signature_store: "SignatureStore | None" = None,
 ) -> DataFrame:
     """MinHash+LSH candidates (banded buckets), exact-Jaccard verified.
     Output identical to ``ngram_jaccard_pairs`` whenever LSH recall is 1 —
@@ -287,24 +376,13 @@ def minhash_lsh_pairs(
     Carrying a doc's shingle-hash array through the two verify joins costs
     ~0.5-4 KB/row of shuffle IO, the standard trade in production minhash
     dedup (candidates are a tiny fraction of the corpus)."""
-    words = F.split(normalized(F.col(text_col)), " ")
-    k = F.greatest(F.size(words) - (n - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
-    )
-    shingle_rows = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle")
-    ).select("doc_id", h56(F.col("shingle")).alias("sh"))
-    docsets = shingle_rows.groupBy("doc_id").agg(
-        F.collect_set("sh").alias("shs")
-    )
-    sigs = docsets.select(
-        "doc_id",
-        F.size("shs").alias("n_sh"),
-        "shs",
-        _sig_udf()(F.col("shs")).alias("mh"),
-    ).cache()
+    # ``signature_store``: incremental mode — per-doc signatures resolve
+    # through the digest-keyed store; the kernel runs only for content
+    # versions never seen before (zero kernel tasks on unchanged corpora)
+    if signature_store is not None:
+        sigs = signature_store.signatures_for(df, id_col, text_col, n).cache()
+    else:
+        sigs = _docsets_sigs(df, id_col, text_col, n).cache()
     rows_per_band = N_HASHES // N_BANDS
     band_cols = [
         F.struct(
