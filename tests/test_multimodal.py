@@ -234,3 +234,155 @@ def test_resize_media_decodes_real_png():
     ys = np.arange(2) * 4 // 2
     xs = np.arange(2) * 4 // 2
     assert np.array_equal(got, img[ys][:, xs])
+
+
+def test_gif_lzw_roundtrip_and_width_growth():
+    """GIF encoder/decoder pixel round-trip (VERDICT r4 item 6): small
+    palette, large repeated-pattern image forcing LZW code-width growth
+    past 9 bits, and the 4096-entry table freeze path."""
+    import numpy as np
+
+    from ethos_spark.ops.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    # raw LZW: deterministic pseudo-random indices, enough to grow the
+    # table well past 512 entries (width 9->10+) and exercise freeze
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 16, size=20000).tolist()
+    assert _lzw_decompress(_lzw_compress(idx, 4), 4) == idx
+
+    # full-container round trip: 40x40, 13 colors
+    img = np.zeros((40, 40, 3), dtype=np.uint8)
+    for y in range(40):
+        for x in range(40):
+            c = (y * 40 + x) % 13
+            img[y, x] = (c * 19, 255 - c * 7, c)
+    back = decode_gif(encode_gif(img))
+    assert back.shape == (40, 40, 3)
+    assert np.array_equal(back, img)
+
+    # animation: 3 full frames round-trip in order
+    frames = [np.full((6, 5, 3), v, dtype=np.uint8) for v in (10, 120, 250)]
+    got = decode_gif_frames(encode_gif(frames))
+    assert len(got) == 3
+    for a, b in zip(got, frames):
+        assert np.array_equal(a, b)
+
+
+def test_gif_interlace_transparency_and_offset_frames():
+    """Hand-built container features the encoder doesn't emit: interlaced
+    row order, a transparent index, and a sub-rectangle second frame
+    composited at an offset."""
+    import struct as st
+
+    import numpy as np
+
+    from ethos_spark.ops.multimodal import (
+        _lzw_compress,
+        decode_gif_frames,
+    )
+
+    # palette: 0=black 1=red 2=green 3=blue
+    pal = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    w = h = 8
+    base = np.arange(w * h) % 4  # row-major indices
+
+    def img_block(indices, left, top, fw, fh, interlace=False):
+        flags = 0x40 if interlace else 0x00
+        comp = _lzw_compress([int(i) for i in indices], 2)
+        sub = b"".join(
+            bytes([len(comp[i : i + 255])]) + comp[i : i + 255]
+            for i in range(0, len(comp), 255)
+        )
+        return (
+            b"\x2c" + st.pack("<HHHH", left, top, fw, fh)
+            + bytes([flags, 2]) + sub + b"\x00"
+        )
+
+    head = b"GIF89a" + st.pack("<HH", w, h) + bytes([0x81, 0, 0]) + pal
+
+    # interlaced: serialize rows in 4-pass order; decoder must restore
+    order = [0], [4], [2, 6], [1, 3, 5, 7]
+    rows = base.reshape(h, w)
+    inter = np.concatenate([rows[r] for grp in order for r in grp])
+    gif = head + img_block(inter, 0, 0, w, h, interlace=True) + b"\x3b"
+    f = decode_gif_frames(gif)[0]
+    pal_np = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]])
+    assert np.array_equal(f, pal_np[rows])
+
+    # frame 2 at offset (2,3), 3x2, index 1 transparent (shows frame 1)
+    gce = bytes([0x21, 0xF9, 4, 0x01, 0, 0, 1, 0])  # transparent idx 1
+    patch = np.array([[3, 1], [1, 3], [3, 3]])  # 3 rows x 2 cols
+    gif2 = (
+        head
+        + img_block(rows.ravel(), 0, 0, w, h)
+        + gce
+        + img_block(patch.ravel(), 3, 2, 2, 3)
+        + b"\x3b"
+    )
+    fs = decode_gif_frames(gif2)
+    assert len(fs) == 2
+    expect = pal_np[rows].copy()
+    for dy in range(3):
+        for dx in range(2):
+            if patch[dy, dx] != 1:  # transparent keeps underlying pixel
+                expect[2 + dy, 3 + dx] = pal_np[patch[dy, dx]]
+    assert np.array_equal(fs[1], expect)
+
+
+def test_resize_media_decodes_real_gif_and_frame_sampling():
+    """The Spark pipeline path: GIF payloads resize from real decoded
+    pixels (exact vs the numpy oracle), animated GIFs explode into
+    sampled raw-RGB frame rows that feed resize_raw_rgb."""
+    import numpy as np
+
+    from ethos_spark.ops.multimodal import (
+        decode_media,
+        encode_gif,
+        gif_frames,
+        resize_media,
+        resize_raw_rgb,
+    )
+    from ethos_spark.session import get_spark
+
+    spark = get_spark("test-mm", master="local[2]", shuffle_partitions=2)
+    img = np.zeros((8, 6, 3), dtype=np.uint8)
+    for y in range(8):
+        for x in range(6):
+            img[y, x] = ((y * 6 + x) % 11 * 20, y * 30, x * 40)
+    payload = encode_gif(img)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, media binary"
+    )
+    meta = decode_media(df).collect()[0]
+    assert (meta.codec, meta.width, meta.height) == ("gif", 6, 8)
+
+    out = resize_media(df, 8, 6, 3, 3).collect()[0]
+    assert out.error is None
+    got = np.frombuffer(bytes(out.media), dtype=np.uint8).reshape(3, 3, 3)
+    ys = np.arange(3) * 8 // 3
+    xs = np.arange(3) * 6 // 3
+    assert np.array_equal(got, img[ys][:, xs])  # pixel-exact oracle
+
+    # animated: 5 frames, sample every 2nd, then resize the raw frames
+    frames = [
+        np.full((4, 4, 3), (v, 0, 255 - v), dtype=np.uint8)
+        for v in (0, 50, 100, 150, 200)
+    ]
+    adf = spark.createDataFrame(
+        [(9, bytearray(encode_gif(frames)))], "doc_id long, media binary"
+    )
+    rows = sorted(
+        (r.frame_idx, bytes(r.media)[0])
+        for r in gif_frames(adf, every_k=2).collect()
+    )
+    assert rows == [(0, 0), (2, 100), (4, 200)]
+    small = resize_raw_rgb(
+        gif_frames(adf, every_k=2), 4, 4, 2, 2
+    ).collect()
+    assert all(len(bytes(r.media)) == 12 for r in small)
