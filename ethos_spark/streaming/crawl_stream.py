@@ -77,7 +77,31 @@ def crawl_batch_handler(
             options,
             start_time=_EPOCH + timedelta(seconds=int(batch_id)),
         )
-        runner.seed(urls)
+        # kill-mid-batch recovery: session ids are a deterministic
+        # function of batch_id, so a replayed batch can tell whether its
+        # OWN session died mid-flight (sessions row exists, end_time not
+        # set, warehouse loop state still pinned to it). Then it RESUMES
+        # from the last committed round — CrawlRunner resume parity makes
+        # the final warehouse byte-identical to an uninterrupted run —
+        # instead of re-seeding (which would restart processed_order).
+        # A replay of a COMPLETED batch still re-seeds and ends
+        # immediately as all_duplicates (idempotence, as before).
+        mine = next(
+            (
+                r
+                for r in wh.read_rows("sessions")
+                if r.get("id") == runner.session_id
+            ),
+            None,
+        )
+        if (
+            mine is not None
+            and mine.get("end_time") is None
+            and wh.props.get("session_id") == runner.session_id
+        ):
+            runner.resume()
+        else:
+            runner.seed(urls)
         summary = runner.run()
         if on_summary is not None:
             on_summary(batch_id, summary)

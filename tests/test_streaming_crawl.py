@@ -170,3 +170,129 @@ def test_streaming_crawl_through_warc_gateway(spark, tmp_path, corpus_df):
         for x in w.read("pages").collect()
     )
     assert key(Warehouse(spark, wh_path)) == key(wh_ref)
+
+class KillMidRoundFetcher:
+    """Delegates to an inner fetcher but raises ONCE, mid-round — at the
+    content-stage fetch of the session's 2nd round — when armed. The
+    failure lands between the round-1 commit and the round-2 commit, with
+    round-2 listing writes already STAGED (the hardest recovery point:
+    gc_orphans must discard them on resume)."""
+
+    def __init__(self, inner, arm_path, killed_path):
+        self._inner = inner
+        self._arm = arm_path
+        self._killed = killed_path
+        self._listing_calls = 0
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def fetch(self, cand, size_hint=None, stage="content"):
+        if stage == "listing":
+            self._listing_calls += 1
+        if (
+            stage == "content"
+            and self._listing_calls >= 2
+            and os.path.exists(self._arm)
+            and not os.path.exists(self._killed)
+        ):
+            with open(self._killed, "w") as f:
+                f.write("killed")
+            raise RuntimeError("injected kill: round-2 content fetch")
+        return self._inner.fetch(cand, size_hint=size_hint, stage=stage)
+
+
+def test_kill_mid_batch_resume_byte_identical(spark, tmp_path, corpus_df):
+    """VERDICT r4 item 8: force a failure INSIDE batch 1 (mid-round, after
+    round 1 committed, round-2 writes staged), restart the query from the
+    checkpoint, and assert the final warehouse is byte-identical to an
+    uninterrupted run — the replayed batch RESUMES its own half-finished
+    session instead of re-seeding."""
+    seed_dir = str(tmp_path / "seeds")
+    ckpt = str(tmp_path / "ckpt")
+    wh_path = str(tmp_path / "wh_kill")
+    arm = str(tmp_path / "arm.flag")
+    killed = str(tmp_path / "killed.flag")
+    os.makedirs(seed_dir)
+    summaries = {}
+
+    def start():
+        return run_crawl_stream(
+            _stream(spark, seed_dir),
+            wh_path,
+            lambda: KillMidRoundFetcher(CorpusFetcher(corpus_df), arm, killed),
+            SYNTH_SOURCE,
+            CrawlOptions(),
+            checkpoint=ckpt,
+            on_summary=lambda bid, s: summaries.setdefault(bid, s),
+        )
+
+    # batch 0 completes normally (kill not armed yet)
+    _drop_seeds(seed_dir, "b0", [listing_url(0, 1)])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    n_b0 = Warehouse(spark, wh_path).read("pages").count()
+    assert n_b0 > 0 and 0 in summaries
+
+    # arm the kill, drop batch 1 (host 1): the query must FAIL mid-round
+    with open(arm, "w") as f:
+        f.write("armed")
+    _drop_seeds(seed_dir, "b1", [listing_url(1, 1)])
+    q = start()
+    with pytest.raises(Exception, match="injected kill"):
+        q.processAllAvailable()
+    q.stop()
+    assert os.path.exists(killed)
+    # round 1 of batch 1 committed before the kill; the session row is
+    # open (end_time None) — the mid-flight state the replay must detect
+    wh_mid = Warehouse(spark, wh_path)
+    mid_sessions = {r["id"]: r for r in wh_mid.read_rows("sessions")}
+    open_rows = [r for r in mid_sessions.values() if r.get("end_time") is None]
+    assert len(open_rows) == 1
+
+    # restart from the checkpoint: batch 1 replays and RESUMES
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert 1 in summaries and summaries[1].stopped_reason == "no_next_button"
+
+    # uninterrupted reference: same sessions (batch-id start times) on a
+    # fresh warehouse, no kill
+    from ethos_spark.streaming.crawl_stream import _EPOCH
+    from datetime import timedelta
+
+    wh_ref = Warehouse(spark, str(tmp_path / "wh_ref"))
+    for bid, host in ((0, 0), (1, 1)):
+        r = CrawlRunner(
+            spark, wh_ref, CorpusFetcher(corpus_df), SYNTH_SOURCE,
+            CrawlOptions(), start_time=_EPOCH + timedelta(seconds=bid),
+        )
+        r.seed([listing_url(host, 1)])
+        r.run()
+
+    cols = [
+        "id", "hash", "source", "url", "url_hash", "host", "host_hash",
+        "title", "author", "published_date", "content", "crawled_at",
+        "created_at", "had_extraction_error", "processed_order",
+        "failed_fields", "extraction_errors",
+    ]
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in Warehouse(spark, wh_path).read("pages").select(*cols).collect()
+    )
+    ref = sorted(
+        tuple(r[c] for c in cols)
+        for r in wh_ref.read("pages").select(*cols).collect()
+    )
+    assert got == ref  # byte-identical payload + lineage columns
+    # session history identical too (wall_sec is wall-clock — excluded)
+    def _sess(wh):
+        out = {}
+        for r in wh.read_rows("sessions"):
+            meta = json.loads(r["metadata"])
+            meta.pop("wall_sec", None)
+            out[r["id"]] = (r.get("stopped_reason"), meta)
+        return out
+
+    assert _sess(Warehouse(spark, wh_path)) == _sess(wh_ref)
