@@ -756,6 +756,48 @@ def warc_roundtrip(spark, sf):
     return res
 
 
+def gif_roundtrip(spark, sf):
+    """Real GIF LZW codec proof (ops/multimodal.py, VERDICT r4 item 6),
+    CROSS-ENGINE: per document a deterministic 4x4 RGB image is built
+    from the ascii bytes of md5(text) (48 bytes = hex + first 16 chars),
+    encoded to a real GIF89a (variable-width LZW), pixel-decoded back,
+    and the DECODED pixel sum aggregated. DuckDB recomputes the same md5
+    hex and byte sums — so the oracle checks the decoder's actual pixel
+    output, not just a self-declared boolean. n_exact counts byte-exact
+    roundtrips (must equal n_docs)."""
+    d = (
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", F.md5(F.col("text")).alias("h"))
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ethos_spark.ops.multimodal import decode_gif, encode_gif
+
+        for pdf in batches:
+            ids, exacts, sums = [], [], []
+            for doc_id, h in zip(pdf["doc_id"], pdf["h"]):
+                raw = (h + h[:16]).encode("ascii")
+                img = np.frombuffer(raw, dtype=np.uint8).reshape(4, 4, 3)
+                back = decode_gif(encode_gif(img))
+                ids.append(doc_id)
+                exacts.append(bool((back == img).all()))
+                sums.append(int(back.sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "exact": exacts, "px_sum": sums}
+            )
+
+    enc = d.mapInPandas(run, "doc_id long, exact boolean, px_sum long")
+    return enc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("exact").cast("long")).alias("n_exact"),
+        F.sum("px_sum").alias("px_sum"),
+    )
+
+
 def streaming_crawl_sessions(spark, sf):
     """foreachBatch streaming crawl (round-3 VERDICT item 10): seed URLs
     arrive as a two-file stream; each micro-batch runs an incremental
@@ -898,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_digests": streaming_dedup_digests,
         "streaming_crawl_sessions": streaming_crawl_sessions,
         "warc_roundtrip": warc_roundtrip,
+        "gif_roundtrip": gif_roundtrip,
         "multimodal_decode": multimodal_decode,
         "stratified_sample": stratified_sample,
     }
@@ -1244,6 +1287,23 @@ FROM reach GROUP BY src ORDER BY doc_id
             SELECT 26::bigint AS n_records,
                    36286253463135465::bigint AS url_xor,
                    27160::bigint AS n_payload_bytes
+        """,
+        "gif_roundtrip": """
+            -- the GIF decoder's pixel output, recomputed: each doc's image
+            -- bytes are ascii(md5 hex + first 16 hex chars); DuckDB sums
+            -- the same bytes the Spark side sums AFTER encode->LZW->decode
+            WITH m AS (
+              SELECT md5(text) AS h FROM documents WHERE doc_id < 200
+            ), s AS (
+              SELECT list_sum(list_transform(range(1, 33), i -> ascii(h[i:i])))
+                   + list_sum(list_transform(range(1, 17), i -> ascii(h[i:i])))
+                   AS px
+              FROM m
+            )
+            SELECT count(*)::bigint AS n_docs,
+                   count(*)::bigint AS n_exact,
+                   sum(px)::bigint AS px_sum
+            FROM s
         """,
         "boilerplate_dedup": """
             WITH n AS (
