@@ -756,6 +756,92 @@ def warc_roundtrip(spark, sf):
     return res
 
 
+def bpe_merges(spark, sf):
+    """Distributed BPE vocabulary learning (ops/bpe.py): 6 merge rounds
+    over the word histogram of documents<200 — each round picks the
+    globally most-frequent adjacent symbol pair (total tie-break: count
+    DESC, left ASC, right ASC) and applies it with the standard
+    left-to-right non-overlapping fold. Integer counts + total order
+    make the merge table bit-identical cross-engine; the DuckDB oracle
+    unrolls the same 6 rounds as recursive-CTE folds (the exact ltr
+    semantics — a regexp/replace approximation diverges on odd runs of
+    a repeated symbol)."""
+    from ethos_spark.ops import bpe
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200).select("text")
+    return bpe.bpe_merge_table(d, "text", _BPE_MERGES)
+
+
+_BPE_MERGES = 6
+
+
+def _bpe_oracle_sql(k: int = _BPE_MERGES) -> str:
+    """Unrolled DuckDB BPE: per round a pair-count CTE (overlapping
+    adjacent pairs, Sennrich get_stats semantics) + a merge-apply CTE.
+    The left-to-right NON-OVERLAPPING application is computed positionally
+    with nested list lambdas: a pair position j merges iff it matches AND
+    its offset within the maximal consecutive run of matches is even —
+    exactly the greedy fold (a naive string-replace diverges on odd runs
+    of a repeated symbol; a recursive-CTE fold re-evaluates its per-round
+    scalar subqueries every iteration and blows up). All CTEs are
+    MATERIALIZED so each round computes once."""
+    ctes = [
+        """hist AS MATERIALIZED (
+          SELECT w, count(*)::bigint AS cnt FROM (
+            SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ')) AS w
+            FROM documents WHERE doc_id < 200
+          ) t WHERE w <> '' GROUP BY w
+        )""",
+        """s0 AS MATERIALIZED (
+          SELECT cnt,
+                 list_transform(range(1, length(w) + 1), i -> w[i:i]) AS sp
+          FROM hist
+        )""",
+    ]
+    for i in range(1, k + 1):
+        prev = f"s{i - 1}"
+        ctes.append(f"""p{i} AS MATERIALIZED (
+          SELECT l, r, sum(cnt)::bigint AS c FROM (
+            SELECT cnt, pr[1] AS l, pr[2] AS r FROM (
+              SELECT cnt, unnest(list_transform(range(1, len(sp)),
+                     j -> [sp[j], sp[j + 1]])) AS pr
+              FROM {prev} WHERE len(sp) >= 2
+            ) q
+          ) q2 GROUP BY l, r ORDER BY c DESC, l ASC, r ASC LIMIT 1
+        )""")
+        ctes.append(f"""s{i} AS MATERIALIZED (
+          SELECT cnt,
+            list_filter(list_transform(range(1, len(sp) + 1), j ->
+                CASE WHEN j < len(sp) AND g[j] THEN sp[j] || sp[j + 1]
+                     WHEN j >= 2 AND g[j - 1] THEN NULL
+                     ELSE sp[j] END), x -> x IS NOT NULL) AS sp
+          FROM (
+            SELECT cnt, sp,
+              list_transform(range(1, len(sp)), j ->
+                m[j] AND ((j - (coalesce(list_max(
+                    list_filter(range(1, j), j2 -> NOT m[j2])), 0) + 1))
+                  % 2 = 0)) AS g
+            FROM (
+              SELECT cnt, sp,
+                list_transform(range(1, len(sp)),
+                  j -> sp[j] = p.l AND sp[j + 1] = p.r) AS m
+              FROM {prev}, p{i} p
+            ) q3
+          ) q4
+        )""")
+    steps = "\n            UNION ALL ".join(
+        f"SELECT {i} AS step, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, c AS pair_count FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"\n        SELECT * FROM ({steps}) ORDER BY step"
+    )
+
+
 def gif_roundtrip(spark, sf):
     """Real GIF LZW codec proof (ops/multimodal.py, VERDICT r4 item 6),
     CROSS-ENGINE: per document a deterministic 4x4 RGB image is built
@@ -941,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_crawl_sessions": streaming_crawl_sessions,
         "warc_roundtrip": warc_roundtrip,
         "gif_roundtrip": gif_roundtrip,
+        "bpe_merges": bpe_merges,
         "multimodal_decode": multimodal_decode,
         "stratified_sample": stratified_sample,
     }
@@ -1288,6 +1375,7 @@ FROM reach GROUP BY src ORDER BY doc_id
                    36286253463135465::bigint AS url_xor,
                    27160::bigint AS n_payload_bytes
         """,
+        "bpe_merges": _bpe_oracle_sql(),
         "gif_roundtrip": """
             -- the GIF decoder's pixel output, recomputed: each doc's image
             -- bytes are ascii(md5 hex + first 16 hex chars); DuckDB sums
