@@ -2,7 +2,8 @@
 
   spark-submit --py-files ethos_spark.zip -m ethos_spark.cli crawl \
       --source synthetic_news --warehouse /data/wh --corpus /data/pages \
-      [--max-pages N] [--recrawl] [--resume] [--budget K]
+      [--max-pages N] [--recrawl] [--resume] [--budget K] \
+      [--rank-priority] [--round-budget K] [--fetch-robots]
   ... sessions --warehouse /data/wh
   ... publications --warehouse /data/wh [--source S] [--page N] [--limit K]
   ... clean --warehouse /data/wh --hashes h1,h2
@@ -68,6 +69,21 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--resume", action="store_true")
     c.add_argument("--budget", type=int, default=10_000, help="per-host per-round")
     c.add_argument("--no-stop-on-all-duplicates", action="store_true")
+    c.add_argument(
+        "--rank-priority", action="store_true",
+        help="PageRank over the discovered host link graph feeds frontier "
+        "priority (high-value hosts crawl first)",
+    )
+    c.add_argument(
+        "--round-budget", type=int, default=None,
+        help="global per-round content-fetch cap ACROSS hosts (top-K by "
+        "priority; overflow carries)",
+    )
+    c.add_argument(
+        "--fetch-robots", action="store_true",
+        help="fetch+parse robots.txt per newly discovered host; gate "
+        "candidates and bootstrap Sitemap: lines into the frontier",
+    )
 
     s = sub.add_parser("sessions")
     s.add_argument("--warehouse", required=True)
@@ -187,6 +203,9 @@ def main(argv: list[str] | None = None) -> int:
                 skip_existing_urls=not args.recrawl,
                 stop_on_all_duplicates=not args.no_stop_on_all_duplicates,
                 per_host_budget=args.budget,
+                prioritize_by_rank=args.rank_priority,
+                round_content_budget=args.round_budget,
+                fetch_robots=args.fetch_robots,
             ),
         )
         runner.install_sigint_handler()  # Ctrl-C → process_interrupted
