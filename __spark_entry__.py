@@ -775,6 +775,77 @@ def bpe_merges(spark, sf):
 _BPE_MERGES = 6
 
 
+def bpe_token_counts(spark, sf):
+    """The APPLY side of BPE, cross-engine: learn the 6-merge vocabulary
+    (as bpe_merges), then tokenize every document with the rank-greedy
+    encoder (ops/bpe.bpe_encode_udf) and count tokens per doc. The
+    DuckDB oracle learns the same merges AND re-applies them round-by-
+    round to every word of every document with the positional-greedy
+    lambda fold — valid because sequential-by-rank application equals
+    rank-greedy BPE (a merge can never enable a LOWER-rank pair: lower
+    ranks predate the merged symbol's existence)."""
+    from ethos_spark.ops import bpe
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    merges = bpe.learn_bpe(d.select("text"), "text", _BPE_MERGES)
+    enc = bpe.bpe_encode_udf(merges)
+    return (
+        d.select("doc_id", F.size(enc(F.col("text"))).alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_apply_oracle_sql(k: int = _BPE_MERGES) -> str:
+    """bpe_token_counts oracle: the learning CTE chain of
+    ``_bpe_oracle_sql`` plus a per-document word chain d0..dK applying
+    each round's winner with the same positional-greedy lambdas."""
+    learn = _bpe_oracle_sql(k)
+    ctes_part = learn[len("WITH ") : learn.rindex("\n        SELECT * FROM")]
+    apply_ctes = [
+        """d0 AS MATERIALIZED (
+          SELECT doc_id,
+                 list_transform(range(1, length(w) + 1), i -> w[i:i]) AS sp
+          FROM (
+            SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(lower(text),
+                          '\\s+', ' ', 'g')), ' ')) AS w
+            FROM documents WHERE doc_id < 200
+          ) t WHERE w <> ''
+        )"""
+    ]
+    for i in range(1, k + 1):
+        prev = f"d{i - 1}"
+        apply_ctes.append(f"""d{i} AS MATERIALIZED (
+          SELECT doc_id,
+            list_filter(list_transform(range(1, len(sp) + 1), j ->
+                CASE WHEN j < len(sp) AND g[j] THEN sp[j] || sp[j + 1]
+                     WHEN j >= 2 AND g[j - 1] THEN NULL
+                     ELSE sp[j] END), x -> x IS NOT NULL) AS sp
+          FROM (
+            SELECT doc_id, sp,
+              list_transform(range(1, len(sp)), j ->
+                m[j] AND ((j - (coalesce(list_max(
+                    list_filter(range(1, j), j2 -> NOT m[j2])), 0) + 1))
+                  % 2 = 0)) AS g
+            FROM (
+              SELECT doc_id, sp,
+                list_transform(range(1, len(sp)),
+                  j -> sp[j] = p.l AND sp[j + 1] = p.r) AS m
+              FROM {prev}, p{i} p
+            ) q3
+          ) q4
+        )""")
+    return (
+        "WITH "
+        + ctes_part
+        + ",\n        "
+        + ",\n        ".join(apply_ctes)
+        + f"""
+        SELECT doc_id, sum(len(sp))::int AS n_tokens
+        FROM d{k} GROUP BY doc_id ORDER BY doc_id"""
+    )
+
+
 def _bpe_oracle_sql(k: int = _BPE_MERGES) -> str:
     """Unrolled DuckDB BPE: per round a pair-count CTE (overlapping
     adjacent pairs, Sennrich get_stats semantics) + a merge-apply CTE.
@@ -1028,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": warc_roundtrip,
         "gif_roundtrip": gif_roundtrip,
         "bpe_merges": bpe_merges,
+        "bpe_token_counts": bpe_token_counts,
         "multimodal_decode": multimodal_decode,
         "stratified_sample": stratified_sample,
     }
@@ -1376,6 +1448,7 @@ FROM reach GROUP BY src ORDER BY doc_id
                    27160::bigint AS n_payload_bytes
         """,
         "bpe_merges": _bpe_oracle_sql(),
+        "bpe_token_counts": _bpe_apply_oracle_sql(),
         "gif_roundtrip": """
             -- the GIF decoder's pixel output, recomputed: each doc's image
             -- bytes are ascii(md5 hex + first 16 hex chars); DuckDB sums
