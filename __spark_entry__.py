@@ -756,6 +756,41 @@ def warc_roundtrip(spark, sf):
     return res
 
 
+def decontaminate_docs(spark, sf):
+    """Benchmark decontamination (ops/decontam.py — GPT-3 appendix C /
+    C4 method): flag every training doc (documents < 300) sharing any
+    13-word-gram with a synthetic eval set. The eval set is derived
+    deterministically — words 5..25 of docs 0..9 (guaranteed overlap by
+    construction) plus docs 400..409 verbatim (outside the corpus slice;
+    they catch any generic cross-doc grams). Output = the audit report
+    (doc_id, n_contaminated_grams); DuckDB recomputes the identical h56
+    gram overlap."""
+    from ethos_spark.ops import decontam
+
+    docs = (
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    bench = (
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") < 10)
+        .select(
+            "doc_id",
+            F.array_join(F.slice(words, 5, 21), " ").alias("text"),
+        )
+        .unionByName(
+            _t(spark, sf, "documents")
+            .where((F.col("doc_id") >= 400) & (F.col("doc_id") < 410))
+            .select("doc_id", "text")
+        )
+    )
+    return decontam.contamination_report(docs, bench, "doc_id", "text", 13)
+
+
 def bpe_merges(spark, sf):
     """Distributed BPE vocabulary learning (ops/bpe.py): 6 merge rounds
     over the word histogram of documents<200 — each round picks the
@@ -1100,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_roundtrip": gif_roundtrip,
         "bpe_merges": bpe_merges,
         "bpe_token_counts": bpe_token_counts,
+        "decontaminate_docs": decontaminate_docs,
         "multimodal_decode": multimodal_decode,
         "stratified_sample": stratified_sample,
     }
@@ -1446,6 +1482,42 @@ FROM reach GROUP BY src ORDER BY doc_id
             SELECT 26::bigint AS n_records,
                    36286253463135465::bigint AS url_xor,
                    27160::bigint AS n_payload_bytes
+        """,
+        "decontaminate_docs": f"""
+            -- 13-gram eval-set overlap recomputed: same normalize, same
+            -- h56 gram hashing, same distinct-overlap counting
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 300
+            ),
+            bench AS (
+              SELECT array_to_string(list_slice(
+                       str_split({_NORM.format(x='text')}, ' '), 5, 25), ' ')
+                     AS text
+              FROM documents WHERE doc_id < 10
+              UNION ALL
+              SELECT text FROM documents
+              WHERE doc_id >= 400 AND doc_id < 410
+            ),
+            cg AS (
+              SELECT DISTINCT doc_id, {_H56.format(
+                  x="array_to_string(list_slice(ws, i, i+12), ' ')"
+              )} AS s
+              FROM (SELECT doc_id,
+                           str_split({_NORM.format(x='text')}, ' ') AS ws
+                    FROM corpus) w,
+                   UNNEST(generate_series(1, greatest(len(ws)-12, 1))) AS t(i)
+            ),
+            bg AS (
+              SELECT DISTINCT {_H56.format(
+                  x="array_to_string(list_slice(ws, i, i+12), ' ')"
+              )} AS s
+              FROM (SELECT str_split({_NORM.format(x='text')}, ' ') AS ws
+                    FROM bench) w,
+                   UNNEST(generate_series(1, greatest(len(ws)-12, 1))) AS t(i)
+            )
+            SELECT cg.doc_id, count(*)::bigint AS n_contaminated_grams
+            FROM cg JOIN bg ON cg.s = bg.s
+            GROUP BY cg.doc_id ORDER BY cg.doc_id
         """,
         "bpe_merges": _bpe_oracle_sql(),
         "bpe_token_counts": _bpe_apply_oracle_sql(),
