@@ -223,3 +223,46 @@ def test_global_round_budget_takes_topk_and_carries_rest(spark, tmp_path):
     # and the budgeted session needed more rounds (the carry is real)
     assert s_bud.rounds > s_full.rounds
     corpus.unpersist()
+
+
+def test_rank_priority_resume_parity(spark, tmp_path, hub_corpus):
+    """Priorities derive from COMMITTED link_edges state, so a session
+    killed between rounds and resumed must produce the identical
+    rank-prioritized schedule (the uninterrupted hand-computed one)."""
+    opts = dict(prioritize_by_rank=True, rank_iters=2)
+    seeds = [f"https://{HUB1}/list/1", f"https://{HUB2}/list/1"]
+
+    wh_a = Warehouse(spark, str(tmp_path / "whA"))
+    ra = CrawlRunner(
+        spark, wh_a, CorpusFetcher(hub_corpus), SYNTH_SOURCE,
+        CrawlOptions(**opts),
+    )
+    ra.seed(seeds)
+    ra.run()
+
+    wh_b = Warehouse(spark, str(tmp_path / "whB"))
+    rb = CrawlRunner(
+        spark, wh_b, CorpusFetcher(hub_corpus), SYNTH_SOURCE,
+        CrawlOptions(**opts),
+    )
+    rb.seed(seeds)
+    rb.run_round(1)
+    # crash between rounds: fresh objects resume from the last commit —
+    # round 2 must recompute the SAME ranks from the committed edges
+    wh_b2 = Warehouse(spark, str(tmp_path / "whB"))
+    rb2 = CrawlRunner(
+        spark, wh_b2, CorpusFetcher(hub_corpus), SYNTH_SOURCE,
+        CrawlOptions(**opts),
+    )
+    rb2.resume()
+    rb2.run()
+
+    a = sorted(
+        (r.processed_order, r.url)
+        for r in wh_a.read("pages").select("processed_order", "url").collect()
+    )
+    b = sorted(
+        (r.processed_order, r.url)
+        for r in wh_b2.read("pages").select("processed_order", "url").collect()
+    )
+    assert a == b and len(a) == 8
