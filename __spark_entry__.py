@@ -756,6 +756,44 @@ def warc_roundtrip(spark, sf):
     return res
 
 
+def sitemap_extract(spark, sf):
+    """Sitemap source correctness (sources/sitemap.py): per document a
+    sitemaps.org <urlset> is CONSTRUCTED deterministically (one <url>
+    entry per doc: loc = https://sm-{doc_id % 20}.example.org/doc/{id},
+    lastmod = 2025-01-{1 + id % 28:02d}), gzipped for odd ids (.xml.gz
+    convention), then parsed back through the REAL ElementTree path
+    (mapInPandas extract_sitemap_urls). The oracle derives the same rows
+    from the construction rule directly — a well-formed document must
+    round-trip exactly, so the XML parser itself is what's checked."""
+    from ethos_spark.sources.sitemap import extract_sitemap_urls
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+
+    def build(batches):
+        import gzip as _gz
+
+        import pandas as pd
+
+        for pdf in batches:
+            urls, bodies = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                loc = f"https://sm-{i % 20}.example.org/doc/{i}"
+                lastmod = f"2025-01-{1 + i % 28:02d}"
+                xml = (
+                    '<?xml version="1.0" encoding="UTF-8"?>'
+                    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                    f"<url><loc>{loc}</loc><lastmod>{lastmod}</lastmod></url>"
+                    "</urlset>"
+                ).encode()
+                urls.append(f"https://src.example.org/sitemap-{i}.xml")
+                bodies.append(_gz.compress(xml) if i % 2 else xml)
+            yield pd.DataFrame({"url": urls, "html": bodies})
+
+    fetched = d.select("doc_id").mapInPandas(build, "url string, html binary")
+    return extract_sitemap_urls(fetched).orderBy("url")
+
+
 def decontaminate_docs(spark, sf):
     """Benchmark decontamination (ops/decontam.py — GPT-3 appendix C /
     C4 method): flag every training doc (documents < 300) sharing any
@@ -1136,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": bpe_merges,
         "bpe_token_counts": bpe_token_counts,
         "decontaminate_docs": decontaminate_docs,
+        "sitemap_extract": sitemap_extract,
         "multimodal_decode": multimodal_decode,
         "stratified_sample": stratified_sample,
     }
@@ -1482,6 +1521,19 @@ FROM reach GROUP BY src ORDER BY doc_id
             SELECT 26::bigint AS n_records,
                    36286253463135465::bigint AS url_xor,
                    27160::bigint AS n_payload_bytes
+        """,
+        "sitemap_extract": """
+            -- the XML/gzip parse must round-trip the constructed sitemap:
+            -- expected rows derive from the construction rule itself
+            SELECT 'https://src.example.org/sitemap-' || doc_id || '.xml'
+                     AS source_url,
+                   'https://sm-' || (doc_id % 20) || '.example.org/doc/'
+                     || doc_id AS url,
+                   'page' AS kind,
+                   '2025-01-' || lpad((1 + doc_id % 28)::varchar, 2, '0')
+                     AS lastmod
+            FROM documents WHERE doc_id < 300
+            ORDER BY url
         """,
         "decontaminate_docs": f"""
             -- 13-gram eval-set overlap recomputed: same normalize, same
