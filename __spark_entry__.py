@@ -794,6 +794,42 @@ def sitemap_extract(spark, sf):
     return extract_sitemap_urls(fetched).orderBy("url")
 
 
+def outlink_extract(spark, sf):
+    """Generic outlink extraction (extraction/outlinks.py): per document
+    a page is CONSTRUCTED with one absolute anchor, one root-relative
+    anchor, one ``../`` anchor and one fragment-only anchor; the REAL
+    stdlib DOM parse + lenient resolve + canonicalize run in Spark, and
+    the oracle derives the expected (src_url, href, url) rows from the
+    construction rule — absolute passthrough, /rel and ../up resolution
+    against the page URL, fragment dropped."""
+    from ethos_spark.extraction.outlinks import extract_outlinks
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls, bodies = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                src = f"https://p-{i % 10}.example.org/page/{i}"
+                html = (
+                    "<html><body>"
+                    f'<a href="https://out-{i % 7}.example.org/x/{i}">abs</a>'
+                    f'<a href="/rel/{i}">rel</a>'
+                    '<a href="#frag">skip</a>'
+                    f'<a href="../up/{i}">up</a>'
+                    "</body></html>"
+                )
+                urls.append(src)
+                bodies.append(html.encode())
+            yield pd.DataFrame({"url": urls, "html": bodies})
+
+    pages = d.select("doc_id").mapInPandas(build, "url string, html binary")
+    return extract_outlinks(pages).orderBy("src_url", "href")
+
+
 def decontaminate_docs(spark, sf):
     """Benchmark decontamination (ops/decontam.py — GPT-3 appendix C /
     C4 method): flag every training doc (documents < 300) sharing any
@@ -1175,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": bpe_token_counts,
         "decontaminate_docs": decontaminate_docs,
         "sitemap_extract": sitemap_extract,
+        "outlink_extract": outlink_extract,
         "multimodal_decode": multimodal_decode,
         "stratified_sample": stratified_sample,
     }
@@ -1521,6 +1558,34 @@ FROM reach GROUP BY src ORDER BY doc_id
             SELECT 26::bigint AS n_records,
                    36286253463135465::bigint AS url_xor,
                    27160::bigint AS n_payload_bytes
+        """,
+        "outlink_extract": """
+            -- DOM parse + URL resolution must round-trip the constructed
+            -- anchors: expected rows derive from the construction rule
+            WITH d AS (
+              SELECT doc_id,
+                     'https://p-' || (doc_id % 10) || '.example.org/page/'
+                       || doc_id AS src
+              FROM documents WHERE doc_id < 300
+            )
+            SELECT * FROM (
+              SELECT src AS src_url,
+                     'https://out-' || (doc_id % 7) || '.example.org/x/'
+                       || doc_id AS href,
+                     'https://out-' || (doc_id % 7) || '.example.org/x/'
+                       || doc_id AS url
+              FROM d
+              UNION ALL
+              SELECT src, '/rel/' || doc_id,
+                     'https://p-' || (doc_id % 10) || '.example.org/rel/'
+                       || doc_id
+              FROM d
+              UNION ALL
+              SELECT src, '../up/' || doc_id,
+                     'https://p-' || (doc_id % 10) || '.example.org/up/'
+                       || doc_id
+              FROM d
+            ) ORDER BY src_url, href
         """,
         "sitemap_extract": """
             -- the XML/gzip parse must round-trip the constructed sitemap:
