@@ -65,13 +65,19 @@ def warm_session(spark, sf_dir: str, picks: list[str] | None = None) -> None:
     n = spark.sparkContext.defaultParallelism
     spark.range(n * 4, numPartitions=n).mapInPandas(_noop, "id long").count()
 
-    # layer 2: codegen warm — same query code, sf0.001 tables
-    if picks:
+    # layer 2: codegen warm — same query code over the SMALLEST sibling
+    # scale factor of the benched data root. Skipped when no smaller
+    # sibling exists (running the benched SF itself untimed would
+    # precompute the measurement, which this warm must never do).
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if picks and os.path.isdir(warm_dir) and os.path.realpath(
+        warm_dir
+    ) != os.path.realpath(sf_dir):
         import __spark_entry__ as E
 
         qs = E.queries()
         for name in picks:
-            qs[name](spark, "/root/testdata/sf0.001").count()
+            qs[name](spark, warm_dir).count()
 
     # layer 3: standing-store priming for the benched sf (computes only
     # signatures MISSING from the digest-keyed store — a no-op when the

@@ -170,9 +170,14 @@ class CuckooFilter:
     broadcast shard dict. Deletion mutates the driver-held tables; take a
     fresh ``might_contain_udf`` after deleting (it re-broadcasts).
 
-    No false negatives for inserted-and-not-deleted keys; deletion is
-    exact for inserted keys (never removes a different key's slot unless
-    fingerprints+bucket collide, the documented cuckoo semantics)."""
+    No false negatives for inserted-and-not-deleted keys — including
+    when two distinct keys collide on (shard, fingerprint, bucket pair):
+    both copies are stored (Fan et al. semantics; insert-time dedup
+    would turn a later delete of one into a false negative for the
+    other). delete() removes one copy per call; a key whose fingerprint
+    is shared may still report present until every sharer is deleted —
+    the documented over-approximation, same direction as a false
+    positive."""
 
     SLOTS = 4
     MAX_KICKS = 500
@@ -255,8 +260,11 @@ class CuckooFilter:
                     f = fingerprint(h >> 16)
                     i1 = (h >> 32) & (n_buckets - 1)
                     i2 = (i1 ^ fp_hash(f)) & (n_buckets - 1)
-                    if f in t[i1] or f in t[i2]:
-                        continue  # already present (fingerprint level)
+                    # NO fingerprint-level dedup here: two DISTINCT keys
+                    # sharing (shard, fp, bucket pair) must occupy two
+                    # slots, or deleting one would false-negative the
+                    # other — the Fan et al. semantics. Duplicate INPUT
+                    # values are dropped by the distinct() below instead.
                     placed = False
                     for b in (i1, i2):
                         empty = np.flatnonzero(t[b] == 0)
@@ -292,7 +300,7 @@ class CuckooFilter:
                     }
                 )
 
-        hashed = df.select(F.col(col).cast("string").alias("_v"))
+        hashed = df.select(F.col(col).cast("string").alias("_v")).distinct()
         # shard affinity: the SQL shard key recomputes _key_hash exactly
         # (first 8 md5 bytes big-endian) so every key of a shard lands in
         # ONE task and shard tables never need the merge fallback below
@@ -316,7 +324,10 @@ class CuckooFilter:
                 prev = tables[r.shard]
                 for b in range(n_buckets):
                     for s in range(slots):
-                        if t[b][s] and not prev[b][s]:
+                        # merge EVERY occupied slot of t, regardless of
+                        # prev's occupancy at the same slot index — the
+                        # target is any free slot of prev's bucket b
+                        if t[b][s]:
                             empty = np.flatnonzero(prev[b] == 0)
                             if len(empty):
                                 prev[b][empty[0]] = t[b][s]

@@ -443,6 +443,7 @@ class CrawlRunner:
         # ranks over the accumulated host link graph, refreshed per round;
         # host-level → the dim is tiny and broadcast into one left join.
         # Round 1 has no edges yet → empty ranks → every priority 0.0.
+        round_caches: list = []
         rank_dim = None
         if opt.prioritize_by_rank:
             from ethos_spark.ops.graph import pagerank_fixed
@@ -455,11 +456,14 @@ class CrawlRunner:
                 dst_col="dst_host",
             )
             # priority = -rank: int64 micro-unit ranks are < 2^53, so the
-            # double is EXACT and the schedule stays deterministic
+            # double is EXACT and the schedule stays deterministic.
+            # CACHED: the iterative pagerank DAG would otherwise re-run
+            # under every one of the round's ~8 downstream actions
             rank_dim = ranks.select(
                 F.col("node").alias("host"),
                 (-F.col("rank")).cast("double").alias("_rank_pri"),
-            )
+            ).cache()
+            round_caches.append(rank_dim)
 
         def _rank_priority(df: DataFrame) -> DataFrame:
             """Override the stored priority column with the current ranks
@@ -498,7 +502,7 @@ class CrawlRunner:
         lres = extract_listing_stage(fetched, self.config.listing).join(
             lkeys, "url"
         ).cache()
-        round_caches: list = [lres]
+        round_caches.append(lres)
 
         # in-round listing retry (PaginationHandler.ts:11-12,84-107: 3
         # attempts with backoff, then the page is a listing error and the
@@ -866,15 +870,29 @@ class CrawlRunner:
         sitemap_lines: list = []
         robots_dim = self.robots
         if opt.fetch_robots:
-            sitemap_lines = self._refresh_robots(
-                lkeys.select("host").unionByName(candidates.select("host"))
+            hosts_df = lkeys.select("host").unionByName(
+                candidates.select("host")
             )
+            if self.robots is not None:
+                # a static dim is AUTHORITATIVE for its hosts: never
+                # fetch them (and never end up with two rules rows per
+                # host — robots_gate's left join would duplicate every
+                # candidate of a twice-ruled host)
+                hosts_df = hosts_df.join(
+                    self.robots.select("host"), "host", "left_anti"
+                )
+            sitemap_lines = self._refresh_robots(hosts_df)
             fetched_rules = self.wh.read("robots_rules", schemas.ROBOTS)
-            robots_dim = (
-                fetched_rules
-                if self.robots is None
-                else fetched_rules.unionByName(self.robots)
-            )
+            if self.robots is None:
+                robots_dim = fetched_rules
+            else:
+                robots_dim = self.robots.unionByName(
+                    fetched_rules.join(
+                        F.broadcast(self.robots.select("host")),
+                        "host",
+                        "left_anti",
+                    )
+                )
 
         scheduled, content_overflow = politeness_topk(
             candidates,

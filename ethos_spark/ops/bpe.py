@@ -163,40 +163,51 @@ def bpe_encode_udf(merges: list[dict]):
 
     from pyspark.sql.types import ArrayType, StringType
 
+    # word memo in the FACTORY closure (not the UDF body) so it survives
+    # across Arrow batches for the lifetime of each python worker — the
+    # UDF deserializes once per worker and the dict then grows in place.
+    # A plain dict, not functools.lru_cache: wrapped functions don't
+    # survive cloudpickle. Zipf's law makes the hit rate ≈ frequency mass.
+    _cache: dict = {}
+    _CACHE_MAX = 65536
+
+    def enc_word(w: str) -> tuple:
+        hit = _cache.get(w)
+        if hit is not None:
+            return hit
+        s = list(w)
+        while len(s) > 1:
+            best = None
+            for i in range(len(s) - 1):
+                r = ranks.get((s[i], s[i + 1]))
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, i)
+            if best is None:
+                break
+            # merge ALL non-overlapping occurrences of the winning
+            # pair left-to-right (reference BPE apply)
+            a, b = s[best[1]], s[best[1] + 1]
+            t, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    t.append(a + b)
+                    i += 2
+                else:
+                    t.append(s[i])
+                    i += 1
+            s = t
+        out = tuple(s)
+        if len(_cache) < _CACHE_MAX:
+            _cache[w] = out
+        return out
+
     @F.pandas_udf(ArrayType(StringType()))
     def encode(texts):
         import re
-        from functools import lru_cache
 
         import pandas as pd
 
         ws = re.compile(r"\s+")
-
-        @lru_cache(maxsize=65536)
-        def enc_word(w: str) -> tuple:
-            s = list(w)
-            while len(s) > 1:
-                best = None
-                for i in range(len(s) - 1):
-                    r = ranks.get((s[i], s[i + 1]))
-                    if r is not None and (best is None or r < best[0]):
-                        best = (r, i)
-                if best is None:
-                    break
-                # merge ALL non-overlapping occurrences of the winning
-                # pair left-to-right (reference BPE apply)
-                a, b = s[best[1]], s[best[1] + 1]
-                t, i = [], 0
-                while i < len(s):
-                    if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
-                        t.append(a + b)
-                        i += 2
-                    else:
-                        t.append(s[i])
-                        i += 1
-                s = t
-            return tuple(s)
-
         out = []
         for text in texts:
             toks: list[str] = []

@@ -730,7 +730,13 @@ def sq8_ivf_topk(
     for q_id, vec in queries:
         v = np.asarray(vec, dtype=np.float64)
         u = v / max(np.linalg.norm(v), 1e-12)
-        q_code = [int(x) for x in np.rint(u * 127.0)]
+        # HALF_UP (round half away from zero) to match _sq8_code's
+        # F.round exactly — np.rint is half-to-even and would give the
+        # same vector different codes on the query vs corpus side
+        scaled = u * 127.0
+        q_code = [
+            int(x) for x in np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+        ]
         q_vec_rows.append((int(q_id), [float(x) for x in vec]))
         sims = cn @ u
         order = np.lexsort((np.arange(len(sims)), -sims))[:nprobe]

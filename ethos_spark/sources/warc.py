@@ -52,10 +52,12 @@ def _safe_uri(url: str) -> str:
     """WARC headers are CRLF-framed: a crawled URL containing control
     characters could otherwise terminate the header line early and forge
     arbitrary WARC headers in the archive. Percent-encode ASCII controls
-    (incl. CR/LF) — the canonical escaping for illegal URI characters."""
+    (incl. CR/LF) — and ONLY those: operating on characters (not UTF-8
+    bytes) keeps non-ASCII URLs intact, since the header block is UTF-8
+    encoded exactly once downstream."""
     return "".join(
-        f"%{b:02X}" if b < 0x21 or b == 0x7F else chr(b)
-        for b in url.encode("utf-8", "surrogateescape")
+        f"%{ord(c):02X}" if ord(c) < 0x21 or ord(c) == 0x7F else c
+        for c in url
     )
 
 

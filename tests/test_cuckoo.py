@@ -73,3 +73,37 @@ def test_prefilter_composes_with_exact_anti_join(spark):
     new = cands.join(maybe_seen.join(members, "url_hash"), "url_hash", "left_anti")
     got = sorted(r.url_hash for r in new.collect())
     assert got == sorted(f"https://h/p-{i}" for i in range(2_000, 3_000))
+
+
+def test_shared_fingerprint_delete_keeps_other_key(spark):
+    """Code-review r5: two DISTINCT keys colliding on (shard, fp, bucket
+    pair) must occupy two slots — deleting one may not false-negative
+    the other (insert-time fp dedup broke this)."""
+    n_shards = 4
+    n_buckets = CuckooFilter.sizing(max(1, 20_000 // n_shards))
+
+    def sig(v):
+        h = CuckooFilter._key_hash(v)
+        f = CuckooFilter._fingerprint(h >> 16)
+        i1 = (h >> 32) & (n_buckets - 1)
+        i2 = (i1 ^ CuckooFilter._fp_hash(f)) & (n_buckets - 1)
+        return (h % n_shards, f, frozenset((i1, i2)))
+
+    seen, pair = {}, None
+    for i in range(200_000):
+        v = f"https://h/c-{i}"
+        s = sig(v)
+        if s in seen:
+            pair = (seen[s], v)
+            break
+        seen[s] = v
+    assert pair is not None, "no colliding pair in 200k keys?"
+    a, b = pair
+    members = spark.createDataFrame(
+        [(f"https://h/c-{i}",) for i in range(1000)] + [(a,), (b,)],
+        "u string",
+    )
+    f = CuckooFilter.build(members, "u", expected=20_000, n_shards=n_shards)
+    assert f.contains(a) and f.contains(b)
+    assert f.delete([a]) == 1
+    assert f.contains(b)  # the surviving sharer keeps its copy

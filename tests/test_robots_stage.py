@@ -160,3 +160,40 @@ def test_corpus_fetcher_robots_stage_and_miss_cache(spark, tmp_path):
     assert summary.robots_blocked == 0
     rules = {r.host: list(r.disallow) for r in wh.read("robots_rules").collect()}
     assert rules == {HOST: []}  # miss cached as empty rules
+
+
+def test_static_dim_with_fetch_robots_no_duplicates(spark, tmp_path):
+    """Code-review r5: a static robots dim + fetch_robots=True must not
+    produce two rules rows per host (the gate's left join would then
+    duplicate every candidate). Static rules are authoritative: the
+    host's live robots.txt is never fetched and the static Disallow is
+    honored even though the live file would allow the path."""
+    from ethos_spark.crawl.robots import robots_table
+
+    m = _url_map()
+    # live robots.txt allows everything (empty rules)
+    m[_u("/robots.txt")] = b"User-agent: *\nDisallow:\n"
+    srv = CorpusHTTPServer(m).start()
+    try:
+        static = robots_table(spark, {HOST: "User-agent: *\nDisallow: /item\n"})
+        wh = Warehouse(spark, str(tmp_path / "wh3"))
+        runner = CrawlRunner(
+            spark,
+            wh,
+            HttpFetcher(timeout_sec=10.0, delay_sec=0.05, gateway=srv.gateway),
+            SYNTH_SOURCE,
+            CrawlOptions(fetch_robots=True),
+            robots=static,
+        )
+        runner.seed([_u("/list/1")])
+        summary = runner.run()
+    finally:
+        srv.stop()
+    rows = wh.read("pages").select("url", "processed_order").collect()
+    urls = [r.url for r in rows]
+    # static /item disallow honored; no page stored twice
+    assert len(urls) == len(set(urls))
+    assert not any("/item/" in u for u in urls)
+    assert _u("/private/secret") in urls  # live rules never fetched
+    assert srv.counts[_u("/robots.txt")] == 0  # static host not refetched
+    assert summary.robots_blocked >= 2

@@ -205,3 +205,19 @@ def test_crlf_url_cannot_forge_warc_headers(spark, tmp_path):
     import glob
     raw = gzip.decompress(open(glob.glob(out + "/*.warc.gz")[0], "rb").read())
     assert b"\r\nX-Forged" not in raw and b"\r\nWARC-Type: evil" not in raw
+
+
+def test_non_ascii_url_roundtrips_exactly(spark, tmp_path):
+    """Code-review r5: _safe_uri must escape ONLY ASCII controls —
+    operating on UTF-8 bytes double-encoded non-ASCII URLs (café →
+    cafÃ©) and broke the write→read roundtrip."""
+    urls = ["https://ex.org/café", "https://пример.рф/путь", "https://ex.org/日本語"]
+    df = spark.createDataFrame(
+        [(u, bytearray(f"body-{i}".encode())) for i, u in enumerate(urls)],
+        "url string, html binary",
+    )
+    out = str(tmp_path / "warc_utf8")
+    write_warc(df.repartition(1), out).collect()
+    back = {r.url: bytes(r.html) for r in read_warc(spark, out).collect()}
+    assert set(back) == set(urls)
+    assert back["https://ex.org/café"] == b"body-0"
