@@ -865,6 +865,47 @@ def decontaminate_docs(spark, sf):
     return decontam.contamination_report(docs, bench, "doc_id", "text", 13)
 
 
+def jpeg_roundtrip(spark, sf):
+    """Baseline JPEG codec proof (ops/multimodal.py X40), CROSS-ENGINE on
+    the exactly-reconstructible class: per doc an 8x8 constant grayscale
+    image of EVEN value v = 2·(doc_id % 100) + 20 encodes (DC-only, flat
+    q=16) and must pixel-decode EXACTLY (8v/16 is an integer, so
+    quantization is lossless for this class); the decoded pixel sum
+    (8·8·3·v — gray replicates to RGB) is recomputed by DuckDB from the
+    construction rule. Covers container framing + huffman + IDCT on the
+    DC path; the lossy AC path is bounded-error by nature and pytest/
+    Hypothesis-gated instead."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ethos_spark.ops.multimodal import decode_jpeg, encode_jpeg
+
+        for pdf in batches:
+            ids, exacts, sums = [], [], []
+            for doc_id in pdf["doc_id"]:
+                v = 2 * (int(doc_id) % 100) + 20
+                img = np.full((8, 8), v, dtype=np.uint8)
+                back = decode_jpeg(encode_jpeg(img, quality_q=16))
+                ids.append(doc_id)
+                exacts.append(bool((back == v).all()))
+                sums.append(int(back.sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "exact": exacts, "px_sum": sums}
+            )
+
+    enc = d.select("doc_id").mapInPandas(
+        run, "doc_id long, exact boolean, px_sum long"
+    )
+    return enc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("exact").cast("long")).alias("n_exact"),
+        F.sum("px_sum").alias("px_sum"),
+    )
+
+
 def bpe_merges(spark, sf):
     """Distributed BPE vocabulary learning (ops/bpe.py): 6 merge rounds
     over the word histogram of documents<200 — each round picks the
@@ -1207,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_crawl_sessions": streaming_crawl_sessions,
         "warc_roundtrip": warc_roundtrip,
         "gif_roundtrip": gif_roundtrip,
+        "jpeg_roundtrip": jpeg_roundtrip,
         "bpe_merges": bpe_merges,
         "bpe_token_counts": bpe_token_counts,
         "decontaminate_docs": decontaminate_docs,
@@ -1638,6 +1680,15 @@ FROM reach GROUP BY src ORDER BY doc_id
         """,
         "bpe_merges": _bpe_oracle_sql(),
         "bpe_token_counts": _bpe_apply_oracle_sql(),
+        "jpeg_roundtrip": """
+            -- the JPEG decoder's pixel output on the exactly-lossless
+            -- class, recomputed from the construction rule: 8x8 constant
+            -- gray v = 2*(doc_id%100)+20 -> RGB sum 192*v per doc
+            SELECT count(*)::bigint AS n_docs,
+                   count(*)::bigint AS n_exact,
+                   sum(192 * (2 * (doc_id % 100) + 20))::bigint AS px_sum
+            FROM documents WHERE doc_id < 200
+        """,
         "gif_roundtrip": """
             -- the GIF decoder's pixel output, recomputed: each doc's image
             -- bytes are ascii(md5 hex + first 16 hex chars); DuckDB sums

@@ -736,12 +736,13 @@ def resize_media(
     payloads are pixel-decoded with the stdlib kernel (``decode_png``:
     zlib inflate + scanline unfilter, VERDICT r3 item 6) and resized from
     their OWN header dimensions; GIF payloads pixel-decode through the
-    real stdlib LZW kernel (``decode_gif``, first frame — VERDICT r4
-    item 6). The error fence now covers only the entropy codecs this
-    container can't decode (jpeg/bmp/wav): those get a NULL media plus
-    an explicit ``error`` column naming the codec; silence would read as
-    success. Undersized raw payloads error too ('raw payload too
-    short')."""
+    real stdlib LZW kernel (``decode_gif``, first frame); baseline JPEG
+    payloads through the real huffman+IDCT kernel (``decode_jpeg``). The
+    error fence is now down to formats with no decoder at all (bmp/wav
+    through this IMAGE path) and non-baseline jpeg variants
+    (progressive/subsampled — decode_jpeg raises, surfaced in the
+    explicit ``error`` column; silence would read as success).
+    Undersized raw payloads error too ('raw payload too short')."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -763,11 +764,13 @@ def resize_media(
             for p in pdf[media_col]:
                 b = bytes(p) if p is not None else b""
                 codec = parse_image_meta(b)["codec"]
-                if codec in ("png", "gif"):
+                if codec in ("png", "gif", "jpeg"):
                     try:
-                        img = (
-                            decode_png(b) if codec == "png" else decode_gif(b)
-                        )
+                        img = {
+                            "png": decode_png,
+                            "gif": decode_gif,
+                            "jpeg": decode_jpeg,
+                        }[codec](b)
                         sh, sw = img.shape[:2]
                         pys = np.arange(target_h) * sh // target_h
                         pxs = np.arange(target_w) * sw // target_w
@@ -841,3 +844,475 @@ def resize_stub(
             )
 
     return df.select(id_col, media_col).mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 / ISO 10918-1, public spec) — the LAST codec
+# fence. Pure stdlib+numpy: huffman entropy decode, dequant, 2D IDCT,
+# YCbCr→RGB. Supported: baseline sequential (SOF0), 8-bit, grayscale or
+# 4:4:4 color, restart markers. Progressive/subsampled files still raise
+# (→ the explicit error column). The encoder exists so the decoder can be
+# round-trip and hand-computed-DCT tested without any codec library.
+# Huffman table constants below are the spec's own Annex K example tables
+# (public standard data, not copied code).
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K: (BITS[1..16], HUFFVAL) for the four example tables
+_K_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_K_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_K_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_K_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix():
+    import numpy as np
+
+    M = np.zeros((8, 8))
+    for u in range(8):
+        c = (1 / (2 * np.sqrt(2))) if u == 0 else 0.5
+        for x in range(8):
+            M[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16)
+    return M  # F = M @ f @ M.T ; f = M.T @ F @ M
+
+
+def _huff_encode_table(bits, vals):
+    """value → (code, length) from canonical (BITS, HUFFVAL)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals):
+    """(length, code) → value — decode walks bit-by-bit."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits per spec
+
+
+def _mag_bits(v: int):
+    """JPEG magnitude category coding: value → (size, bit pattern)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    return size, (v if v > 0 else v + (1 << size) - 1)
+
+
+def encode_jpeg(img, quality_q: int = 8, restart_interval: int = 0) -> bytes:
+    """Minimal REAL baseline JPEG encoder: 8-bit, grayscale (h×w) or
+    4:4:4 YCbCr color (h×w×3), flat quantization table ``quality_q``,
+    Annex K huffman tables, optional DRI/RSTn restart markers. Lossy by
+    nature — exists for round-trip / hand-computed-DCT testing of the
+    decoder."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.float64)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        comps = [img]
+    else:
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    q = np.full((8, 8), quality_q, dtype=np.int32)
+    M = _dct_matrix()
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT (one table, id 0, 8-bit)
+    zz_q = bytes(int(q.ravel()[_ZIGZAG[i]]) for i in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    # SOF0
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])  # h=v=1, qtable 0
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: DC/AC luma (ids 0x00/0x10) + chroma (0x01/0x11) when color
+    tables = [(0x00, _K_DC_LUMA), (0x10, _K_AC_LUMA)]
+    if not gray:
+        tables += [(0x01, _K_DC_CHROMA), (0x11, _K_AC_CHROMA)]
+    for tid, (bits, vals) in tables:
+        body = bytes([tid]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        td_ta = 0x00 if c == 0 else 0x11
+        sos += bytes([c + 1, td_ta])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    enc_dc = [
+        _huff_encode_table(*(_K_DC_LUMA if c == 0 else _K_DC_CHROMA))
+        for c in range(ncomp)
+    ]
+    enc_ac = [
+        _huff_encode_table(*(_K_AC_LUMA if c == 0 else _K_AC_CHROMA))
+        for c in range(ncomp)
+    ]
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bwid):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                out_rst = 0xD0 + ((mcu // restart_interval - 1) % 8)
+                bw.out += bytes([0xFF, out_rst])
+                pred = [0] * ncomp
+            mcu += 1
+            for c in range(ncomp):
+                plane = comps[c]
+                block = np.zeros((8, 8))
+                ys, xs = by * 8, bx * 8
+                sub = plane[ys : ys + 8, xs : xs + 8]
+                # edge replication padding
+                block[: sub.shape[0], : sub.shape[1]] = sub
+                if sub.shape[0] < 8:
+                    block[sub.shape[0] :, :] = block[sub.shape[0] - 1, :]
+                if sub.shape[1] < 8:
+                    block[:, sub.shape[1] :] = block[:, sub.shape[1] - 1][
+                        :, None
+                    ]
+                coef = M @ (block - 128.0) @ M.T
+                qc = np.round(coef / q).astype(np.int64)
+                zz = [int(qc.ravel()[_ZIGZAG[i]]) for i in range(64)]
+                diff = zz[0] - pred[c]
+                pred[c] = zz[0]
+                size, mbits = _mag_bits(diff)
+                code, ln = enc_dc[c][size]
+                bw.put(code, ln)
+                if size:
+                    bw.put(mbits, size)
+                run = 0
+                for i in range(1, 64):
+                    v = zz[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = enc_ac[c][0xF0]  # ZRL
+                        bw.put(code, ln)
+                        run -= 16
+                    size, mbits = _mag_bits(v)
+                    code, ln = enc_ac[c][(run << 4) | size]
+                    bw.put(code, ln)
+                    bw.put(mbits, size)
+                    run = 0
+                if run:
+                    code, ln = enc_ac[c][0x00]  # EOB
+                    bw.put(code, ln)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                # stuffed byte or marker
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("unexpected marker in entropy stream")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> "np.ndarray":  # noqa: F821
+    """REAL baseline JPEG pixel decode (T.81): marker walk, DQT/DHT/SOF0
+    parse, huffman entropy decode with byte unstuffing + restart
+    markers, dequant, dezigzag, 2D IDCT, YCbCr→RGB. Supports the shapes
+    ``encode_jpeg`` and plain baseline writers emit: 8-bit, grayscale or
+    4:4:4 (no chroma subsampling), sequential. Raises ValueError on
+    progressive (SOF2), subsampled, 12-bit, or arithmetic-coded files —
+    surfaced by the caller's explicit ``error`` column."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a jpeg")
+    try:
+        return _decode_jpeg_body(payload)
+    except (IndexError, struct.error, KeyError) as exc:
+        raise ValueError(f"truncated/malformed jpeg: {exc}") from exc
+
+
+def _decode_jpeg_body(payload: bytes) -> "np.ndarray":  # noqa: F821
+    import numpy as np
+
+    qtables: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    comps: list[dict] = []
+    h = w = None
+    restart_interval = 0
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError(f"bad marker alignment at {i}")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        body = payload[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                j += 1
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tab = np.zeros(64, dtype=np.int32)
+                for k in range(64):
+                    tab[_ZIGZAG[k]] = body[j + k]
+                qtables[tq] = tab.reshape(8, 8)
+                j += 64
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(body[j + 17 : j + 17 + nv])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_table(
+                    bits, vals
+                )
+                j += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if _prec != 8:
+                raise ValueError("only 8-bit baseline supported")
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError("chroma subsampling unsupported")
+                comps.append({"id": cid, "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline SOF 0x{marker:02x} unsupported (progressive/"
+                "arithmetic/lossless)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                scan.append((cs, tdta >> 4, tdta & 0x0F))
+            data_start = i + 2 + seg_len
+            return _decode_scan(
+                payload, data_start, h, w, comps, scan, qtables,
+                dc_tabs, ac_tabs, restart_interval,
+            )
+        i += 2 + seg_len
+    raise ValueError("no SOS scan found")
+
+
+def _decode_scan(
+    payload, start, h, w, comps, scan, qtables, dc_tabs, ac_tabs, dri
+):
+    import numpy as np
+
+    if h is None or not comps:
+        raise ValueError("missing SOF before SOS")
+    M = _dct_matrix()
+    ncomp = len(scan)
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((bh * 8, bw_ * 8)) for _ in range(ncomp)]
+    # entropy data may contain restart markers: split segments up front
+    br = _BitReader(payload[start:])
+    pred = [0] * ncomp
+
+    def read_block(ci):
+        _cid, td, ta = scan[ci]
+        dct = dc_tabs[td]
+        act = ac_tabs[ta]
+        ln, code = 0, 0
+        for _ in range(16):
+            code = (code << 1) | br.bit()
+            ln += 1
+            if (ln, code) in dct:
+                size = dct[(ln, code)]
+                break
+        else:
+            raise ValueError("bad DC huffman code")
+        diff = _extend(br.bits(size), size) if size else 0
+        pred[ci] += diff
+        zz = np.zeros(64, dtype=np.int64)
+        zz[0] = pred[ci]
+        k = 1
+        while k < 64:
+            ln, code = 0, 0
+            for _ in range(16):
+                code = (code << 1) | br.bit()
+                ln += 1
+                if (ln, code) in act:
+                    rs = act[(ln, code)]
+                    break
+            else:
+                raise ValueError("bad AC huffman code")
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = rs >> 4, rs & 0x0F
+            k += run
+            if k > 63:
+                raise ValueError("AC run overflow")
+            zz[k] = _extend(br.bits(size), size)
+            k += 1
+        return zz
+
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            if dri and mcu and mcu % dri == 0:
+                # byte-align (drop pad bits) and consume the RSTn marker
+                br.n = 0
+                if (
+                    br.pos + 1 < len(br.data)
+                    and br.data[br.pos] == 0xFF
+                    and 0xD0 <= br.data[br.pos + 1] <= 0xD7
+                ):
+                    br.pos += 2
+                else:
+                    raise ValueError("missing restart marker")
+                pred[:] = [0] * ncomp
+            for ci in range(ncomp):
+                zz = read_block(ci)
+                tq = comps[ci]["tq"]
+                if tq not in qtables:
+                    raise ValueError(f"missing quant table {tq}")
+                coef = np.zeros((8, 8))
+                coef.ravel()[_ZIGZAG] = zz
+                block = M.T @ (coef * qtables[tq]) @ M + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            mcu += 1
+    planes = [p[:h, :w] for p in planes]
+    if ncomp == 1:
+        y = np.clip(planes[0], 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    if ncomp != 3:
+        raise ValueError(f"{ncomp}-component scan unsupported")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)

@@ -106,3 +106,44 @@ def test_gif_roundtrip_any_image(w, h, n_colors, seed):
     colors = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
     img = colors[rng.integers(0, n_colors, size=(h, w))]
     assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+@given(blob=st.binary(max_size=256))
+@settings(max_examples=150, deadline=None)
+def test_jpeg_decode_total_on_garbage(blob):
+    """decode_jpeg is TOTAL on arbitrary bytes: ValueError or a valid
+    array, never a crash/hang."""
+    from ethos_spark.ops.multimodal import decode_jpeg
+
+    for payload in (blob, b"\xff\xd8" + blob):
+        try:
+            out = decode_jpeg(payload)
+            assert out.ndim == 3 and out.shape[2] == 3
+        except ValueError:
+            pass
+
+
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    q=st.sampled_from([1, 2, 4, 8]),
+    seed=st.integers(0, 2**31 - 1),
+    gray=st.booleans(),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_bounded_error_any_shape(w, h, q, seed, gray):
+    """encode→decode error stays quantization-bounded for any dims
+    (incl. non-multiple-of-8 edges) in gray and color."""
+    import numpy as np
+
+    from ethos_spark.ops.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    # smooth-ish content (random low-frequency mix) — the realistic case
+    base = rng.integers(30, 220, size=(max(1, h // 4 + 1), max(1, w // 4 + 1), 3))
+    img = np.kron(base, np.ones((4, 4, 1)))[:h, :w, :].astype(np.uint8)
+    src = img[:, :, 0] if gray else img
+    out = decode_jpeg(encode_jpeg(src, quality_q=q))
+    assert out.shape == (h, w, 3)
+    ref = np.repeat(img[:, :, :1], 3, axis=2) if gray else img
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 8 * q + 8

@@ -386,3 +386,112 @@ def test_resize_media_decodes_real_gif_and_frame_sampling():
         gif_frames(adf, every_k=2), 4, 4, 2, 2
     ).collect()
     assert all(len(bytes(r.media)) == 12 for r in small)
+
+
+def test_jpeg_roundtrip_and_independent_idct():
+    """Baseline JPEG codec: constant blocks decode EXACTLY, smooth
+    content at q=1 is within rounding, the decoder's matrix IDCT matches
+    a textbook double-loop IDCT written independently here, and restart
+    markers + grayscale both round-trip."""
+    import numpy as np
+
+    from ethos_spark.ops.multimodal import (
+        _ZIGZAG,
+        _dct_matrix,
+        decode_jpeg,
+        encode_jpeg,
+        parse_image_meta,
+    )
+
+    # constant gray, even value → DC-only, exact reconstruction
+    img = np.full((16, 24), 100, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality_q=16))
+    assert out.shape == (16, 24, 3)
+    assert np.abs(out.astype(int) - 100).max() == 0
+
+    # color gradient at q=1: every pixel within rounding error
+    h, w = 24, 17  # non-multiple-of-8 → exercises edge padding
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            rgb[y, x] = (min(255, 10 * y), min(255, 15 * x), 128)
+    back = decode_jpeg(encode_jpeg(rgb, quality_q=1))
+    assert back.shape == rgb.shape
+    assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 2
+
+    # noise at q=8: quantization-bounded error
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    nb = decode_jpeg(encode_jpeg(noise, quality_q=8))
+    err = np.abs(nb.astype(int) - noise.astype(int))
+    assert err.mean() < 6 and err.max() < 40
+
+    # restart markers: identical output to the unrestarted stream
+    a = decode_jpeg(encode_jpeg(rgb, quality_q=4))
+    b = decode_jpeg(encode_jpeg(rgb, quality_q=4, restart_interval=2))
+    assert np.array_equal(a, b)
+
+    # the decoder's M.T @ F @ M IDCT == the textbook loop formula
+    # (independent implementation: different structure, same spec math)
+    M = _dct_matrix()
+    rngc = np.random.default_rng(7)
+    F_ = rngc.integers(-200, 200, size=(8, 8)).astype(float)
+    fast = M.T @ F_ @ M
+
+    def C(u):
+        return 1 / np.sqrt(2) if u == 0 else 1.0
+
+    slow = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    s += (
+                        C(u) * C(v) * F_[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            slow[x, y] = s / 4.0
+    assert np.allclose(fast, slow, atol=1e-9)
+    assert len(set(_ZIGZAG)) == 64  # zigzag is a permutation
+
+    # header meta agrees with the decoder
+    meta = parse_image_meta(encode_jpeg(rgb))
+    assert (meta["codec"], meta["width"], meta["height"]) == ("jpeg", w, h)
+
+
+def test_resize_media_decodes_real_jpeg_and_fences_nonbaseline():
+    """The pipeline path: baseline JPEG resizes from real decoded pixels
+    (nearest-neighbor oracle, tolerance = codec loss); a progressive
+    (SOF2) file still routes to the explicit error column."""
+    import struct as st
+
+    import numpy as np
+
+    from ethos_spark.ops.multimodal import decode_jpeg, encode_jpeg, resize_media
+    from ethos_spark.session import get_spark
+
+    spark = get_spark("test-mm", master="local[2]", shuffle_partitions=2)
+    h, w = 16, 16
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            rgb[y, x] = (y * 12, x * 12, (x + y) * 6)
+    payload = encode_jpeg(rgb, quality_q=2)
+    # progressive: same container, SOF2 marker instead of SOF0
+    prog = bytearray(payload)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(bytes(prog)))],
+        "doc_id long, media binary",
+    )
+    out = {r.doc_id: r for r in resize_media(df, h, w, 4, 4).collect()}
+    assert out[1].error is None
+    got = np.frombuffer(bytes(out[1].media), dtype=np.uint8).reshape(4, 4, 3)
+    ys = np.arange(4) * h // 4
+    xs = np.arange(4) * w // 4
+    expect = decode_jpeg(payload)[ys][:, xs]
+    assert np.array_equal(got, expect)  # exact vs the decode+NN oracle
+    assert out[2].media is None and "jpeg" in out[2].error
