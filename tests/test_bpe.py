@@ -86,3 +86,30 @@ def test_encoder_determinism_and_cache(spark):
     joined = {r.doc_id: "".join(r.t) for r in a}
     for i in range(50):
         assert joined[i] == f"token{i % 3}repeatedrepeatedtext"
+
+
+def test_merge_store_persist_once(spark, tmp_path, monkeypatch):
+    """MergeStore (persist-once pattern): second get_or_learn with the
+    same key loads the artifact with ZERO training — learn_bpe is
+    poisoned and must not be invoked."""
+    import ethos_spark.ops.bpe as bpe_mod
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low")], "doc_id long, text string"
+    )
+    store = bpe_mod.MergeStore(str(tmp_path / "bpestore"))
+    m1 = store.get_or_learn("k1", docs, "text", 4)
+    assert m1 and m1[0]["merged"] == "lo"
+
+    def boom(*a, **k):
+        raise AssertionError("learn_bpe invoked despite stored artifact")
+
+    monkeypatch.setattr(bpe_mod, "learn_bpe", boom)
+    store2 = bpe_mod.MergeStore(str(tmp_path / "bpestore"))
+    assert store2.get_or_learn("k1", docs, "text", 4) == m1
+    # different key or merge count DOES retrain (and the poison fires)
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        store2.get_or_learn("k2", docs, "text", 4)
+    with _pytest.raises(AssertionError):
+        store2.get_or_learn("k1", docs, "text", 5)
