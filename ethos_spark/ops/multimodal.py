@@ -740,7 +740,7 @@ def resize_media(
     payloads through the real huffman+IDCT kernel (``decode_jpeg``). The
     error fence is now down to formats with no decoder at all (bmp/wav
     through this IMAGE path) and non-baseline jpeg variants
-    (progressive/subsampled — decode_jpeg raises, surfaced in the
+    (progressive/exotic sampling — decode_jpeg raises, surfaced in the
     explicit ``error`` column; silence would read as success).
     Undersized raw payloads error too ('raw payload too short')."""
     out_schema = T.StructType(
@@ -849,8 +849,8 @@ def resize_stub(
 # ---------------------------------------------------------------------------
 # Baseline JPEG (ITU-T T.81 / ISO 10918-1, public spec) — the LAST codec
 # fence. Pure stdlib+numpy: huffman entropy decode, dequant, 2D IDCT,
-# YCbCr→RGB. Supported: baseline sequential (SOF0), 8-bit, grayscale or
-# 4:4:4 color, restart markers. Progressive/subsampled files still raise
+# YCbCr→RGB. Supported: baseline sequential (SOF0), 8-bit, grayscale,
+# 4:4:4 or 4:2:0 color, restart markers. Progressive files still raise
 # (→ the explicit error column). The encoder exists so the decoder can be
 # round-trip and hand-computed-DCT tested without any codec library.
 # Huffman table constants below are the spec's own Annex K example tables
@@ -981,12 +981,60 @@ def _mag_bits(v: int):
     return size, (v if v > 0 else v + (1 << size) - 1)
 
 
-def encode_jpeg(img, quality_q: int = 8, restart_interval: int = 0) -> bytes:
+def _encode_block(bw, plane, ys, xs, q, M, enc_dc, enc_ac, pred, ci):
+    """DCT + quantize + entropy-encode one 8x8 block of ``plane`` at
+    (ys, xs), edge-replication padded."""
+    import numpy as np
+
+    block = np.zeros((8, 8))
+    sub = plane[ys : ys + 8, xs : xs + 8]
+    block[: sub.shape[0], : sub.shape[1]] = sub
+    if 0 < sub.shape[0] < 8:
+        block[sub.shape[0] :, :] = block[sub.shape[0] - 1, :]
+    if 0 < sub.shape[1] < 8:
+        block[:, sub.shape[1] :] = block[:, sub.shape[1] - 1][:, None]
+    coef = M @ (block - 128.0) @ M.T
+    qc = np.round(coef / q).astype(np.int64)
+    zz = [int(qc.ravel()[_ZIGZAG[i]]) for i in range(64)]
+    diff = zz[0] - pred[ci]
+    pred[ci] = zz[0]
+    size, mbits = _mag_bits(diff)
+    code, ln = enc_dc[ci][size]
+    bw.put(code, ln)
+    if size:
+        bw.put(mbits, size)
+    run = 0
+    for i in range(1, 64):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = enc_ac[ci][0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        size, mbits = _mag_bits(v)
+        code, ln = enc_ac[ci][(run << 4) | size]
+        bw.put(code, ln)
+        bw.put(mbits, size)
+        run = 0
+    if run:
+        code, ln = enc_ac[ci][0x00]  # EOB
+        bw.put(code, ln)
+
+
+def encode_jpeg(
+    img,
+    quality_q: int = 8,
+    restart_interval: int = 0,
+    subsample: bool = False,
+) -> bytes:
     """Minimal REAL baseline JPEG encoder: 8-bit, grayscale (h×w) or
-    4:4:4 YCbCr color (h×w×3), flat quantization table ``quality_q``,
-    Annex K huffman tables, optional DRI/RSTn restart markers. Lossy by
-    nature — exists for round-trip / hand-computed-DCT testing of the
-    decoder."""
+    YCbCr color (h×w×3) at 4:4:4 or — with ``subsample=True`` — 4:2:0
+    (2x2-mean chroma, the dominant web-JPEG configuration); flat
+    quantization table ``quality_q``, Annex K huffman tables, optional
+    DRI/RSTn restart markers. Lossy by nature — exists for round-trip /
+    hand-computed-DCT testing of the decoder."""
     import numpy as np
 
     img = np.asarray(img, dtype=np.float64)
@@ -994,6 +1042,7 @@ def encode_jpeg(img, quality_q: int = 8, restart_interval: int = 0) -> bytes:
     h, w = img.shape[:2]
     if gray:
         comps = [img]
+        subsample = False
     else:
         r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
         comps = [
@@ -1001,6 +1050,21 @@ def encode_jpeg(img, quality_q: int = 8, restart_interval: int = 0) -> bytes:
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
+    if subsample:
+        # 4:2:0 chroma: 2x2 box mean over the edge-padded-to-even plane
+        def down2(p):
+            he, we = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            pad = np.empty((he, we))
+            pad[:h, :w] = p
+            if he > h:
+                pad[h:, :w] = p[h - 1, :]
+            if we > w:
+                pad[:, w:] = pad[:, w - 1][:, None]
+            return (
+                pad.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            )
+
+        comps = [comps[0], down2(comps[1]), down2(comps[2])]
     q = np.full((8, 8), quality_q, dtype=np.int32)
     M = _dct_matrix()
     out = bytearray(b"\xff\xd8")  # SOI
@@ -1011,7 +1075,8 @@ def encode_jpeg(img, quality_q: int = 8, restart_interval: int = 0) -> bytes:
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0])  # h=v=1, qtable 0
+        hv = 0x22 if (subsample and c == 0) else 0x11
+        sof += bytes([c + 1, hv, 0])  # qtable 0
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     # DHT: DC/AC luma (ids 0x00/0x10) + chroma (0x01/0x11) when color
     tables = [(0x00, _K_DC_LUMA), (0x10, _K_AC_LUMA)]
@@ -1040,7 +1105,8 @@ def encode_jpeg(img, quality_q: int = 8, restart_interval: int = 0) -> bytes:
     ]
     bw = _BitWriter()
     pred = [0] * ncomp
-    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    mcu_px = 16 if subsample else 8
+    bh, bwid = (h + mcu_px - 1) // mcu_px, (w + mcu_px - 1) // mcu_px
     mcu = 0
     for by in range(bh):
         for bx in range(bwid):
@@ -1050,47 +1116,26 @@ def encode_jpeg(img, quality_q: int = 8, restart_interval: int = 0) -> bytes:
                 bw.out += bytes([0xFF, out_rst])
                 pred = [0] * ncomp
             mcu += 1
-            for c in range(ncomp):
-                plane = comps[c]
-                block = np.zeros((8, 8))
-                ys, xs = by * 8, bx * 8
-                sub = plane[ys : ys + 8, xs : xs + 8]
-                # edge replication padding
-                block[: sub.shape[0], : sub.shape[1]] = sub
-                if sub.shape[0] < 8:
-                    block[sub.shape[0] :, :] = block[sub.shape[0] - 1, :]
-                if sub.shape[1] < 8:
-                    block[:, sub.shape[1] :] = block[:, sub.shape[1] - 1][
-                        :, None
-                    ]
-                coef = M @ (block - 128.0) @ M.T
-                qc = np.round(coef / q).astype(np.int64)
-                zz = [int(qc.ravel()[_ZIGZAG[i]]) for i in range(64)]
-                diff = zz[0] - pred[c]
-                pred[c] = zz[0]
-                size, mbits = _mag_bits(diff)
-                code, ln = enc_dc[c][size]
-                bw.put(code, ln)
-                if size:
-                    bw.put(mbits, size)
-                run = 0
-                for i in range(1, 64):
-                    v = zz[i]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = enc_ac[c][0xF0]  # ZRL
-                        bw.put(code, ln)
-                        run -= 16
-                    size, mbits = _mag_bits(v)
-                    code, ln = enc_ac[c][(run << 4) | size]
-                    bw.put(code, ln)
-                    bw.put(mbits, size)
-                    run = 0
-                if run:
-                    code, ln = enc_ac[c][0x00]  # EOB
-                    bw.put(code, ln)
+            if subsample:
+                # spec interleave: 4 Y blocks (raster), then Cb, then Cr
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        _encode_block(
+                            bw, comps[0],
+                            by * 16 + dy * 8, bx * 16 + dx * 8,
+                            q, M, enc_dc, enc_ac, pred, 0,
+                        )
+                for c in (1, 2):
+                    _encode_block(
+                        bw, comps[c], by * 8, bx * 8,
+                        q, M, enc_dc, enc_ac, pred, c,
+                    )
+            else:
+                for c in range(ncomp):
+                    _encode_block(
+                        bw, comps[c], by * 8, bx * 8,
+                        q, M, enc_dc, enc_ac, pred, c,
+                    )
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -1136,10 +1181,11 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":  # noqa: F821
     """REAL baseline JPEG pixel decode (T.81): marker walk, DQT/DHT/SOF0
     parse, huffman entropy decode with byte unstuffing + restart
     markers, dequant, dezigzag, 2D IDCT, YCbCr→RGB. Supports the shapes
-    ``encode_jpeg`` and plain baseline writers emit: 8-bit, grayscale or
-    4:4:4 (no chroma subsampling), sequential. Raises ValueError on
-    progressive (SOF2), subsampled, 12-bit, or arithmetic-coded files —
-    surfaced by the caller's explicit ``error`` column."""
+    ``encode_jpeg`` and plain baseline writers emit: 8-bit, grayscale,
+    4:4:4 or 4:2:0 chroma-subsampled (the dominant web configuration),
+    sequential. Raises ValueError on progressive (SOF2), exotic sampling
+    factors, 12-bit, or arithmetic-coded files — surfaced by the
+    caller's explicit ``error`` column."""
     import numpy as np
 
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -1198,9 +1244,22 @@ def _decode_jpeg_body(payload: bytes) -> "np.ndarray":  # noqa: F821
                 raise ValueError("only 8-bit baseline supported")
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
-                    raise ValueError("chroma subsampling unsupported")
-                comps.append({"id": cid, "tq": tq})
+                comps.append(
+                    {"id": cid, "tq": tq, "h": hv >> 4, "v": hv & 0x0F}
+                )
+            factors = [(c["h"], c["v"]) for c in comps]
+            if not (
+                all(f == (1, 1) for f in factors)
+                or (
+                    len(factors) == 3
+                    and factors[0] == (2, 2)
+                    and factors[1] == factors[2] == (1, 1)
+                )
+            ):
+                raise ValueError(
+                    f"unsupported sampling factors {factors} (4:4:4, "
+                    "grayscale and 4:2:0 only)"
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -1233,9 +1292,16 @@ def _decode_scan(
         raise ValueError("missing SOF before SOS")
     M = _dct_matrix()
     ncomp = len(scan)
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((bh * 8, bw_ * 8)) for _ in range(ncomp)]
-    # entropy data may contain restart markers: split segments up front
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component plane at ITS OWN resolution (chroma half-size under
+    # 4:2:0); upsampled after the scan
+    planes = [
+        np.zeros((mcuy * 8 * comps[ci]["v"], mcux * 8 * comps[ci]["h"]))
+        for ci in range(ncomp)
+    ]
     br = _BitReader(payload[start:])
     pred = [0] * ncomp
 
@@ -1280,9 +1346,19 @@ def _decode_scan(
             k += 1
         return zz
 
+    def place_block(ci, ys, xs):
+        zz = read_block(ci)
+        tq = comps[ci]["tq"]
+        if tq not in qtables:
+            raise ValueError(f"missing quant table {tq}")
+        coef = np.zeros((8, 8))
+        coef.ravel()[_ZIGZAG] = zz
+        block = M.T @ (coef * qtables[tq]) @ M + 128.0
+        planes[ci][ys : ys + 8, xs : xs + 8] = block
+
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw_):
+    for by in range(mcuy):
+        for bx in range(mcux):
             if dri and mcu and mcu % dri == 0:
                 # byte-align (drop pad bits) and consume the RSTn marker
                 br.n = 0
@@ -1295,17 +1371,27 @@ def _decode_scan(
                 else:
                     raise ValueError("missing restart marker")
                 pred[:] = [0] * ncomp
+            # spec MCU interleave: each component contributes h*v blocks
+            # in raster order at its own resolution
             for ci in range(ncomp):
-                zz = read_block(ci)
-                tq = comps[ci]["tq"]
-                if tq not in qtables:
-                    raise ValueError(f"missing quant table {tq}")
-                coef = np.zeros((8, 8))
-                coef.ravel()[_ZIGZAG] = zz
-                block = M.T @ (coef * qtables[tq]) @ M + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                ch, cv = comps[ci]["h"], comps[ci]["v"]
+                for dy in range(cv):
+                    for dx in range(ch):
+                        place_block(
+                            ci,
+                            (by * cv + dy) * 8,
+                            (bx * ch + dx) * 8,
+                        )
             mcu += 1
-    planes = [p[:h, :w] for p in planes]
+    # upsample subsampled components to full resolution, then crop
+    up = []
+    for ci in range(ncomp):
+        p = planes[ci]
+        ry, rx = vmax // comps[ci]["v"], hmax // comps[ci]["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        up.append(p[:h, :w])
+    planes = up
     if ncomp == 1:
         y = np.clip(planes[0], 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)

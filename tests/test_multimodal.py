@@ -495,3 +495,38 @@ def test_resize_media_decodes_real_jpeg_and_fences_nonbaseline():
     expect = decode_jpeg(payload)[ys][:, xs]
     assert np.array_equal(got, expect)  # exact vs the decode+NN oracle
     assert out[2].media is None and "jpeg" in out[2].error
+
+
+def test_jpeg_420_subsampling():
+    """4:2:0 chroma-subsampled JPEG (the dominant web configuration):
+    constant colors round-trip near-exactly, luma stays within rounding
+    on gradients (chroma is legitimately box-filtered), restart markers
+    compose, and the resize pipeline decodes it."""
+    import numpy as np
+
+    from ethos_spark.ops.multimodal import decode_jpeg, encode_jpeg
+
+    const = np.full((16, 16, 3), 120, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(const, quality_q=16, subsample=True))
+    assert np.abs(out.astype(int) - 120).max() == 0
+
+    h, w = 24, 17
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            rgb[y, x] = (min(255, 10 * y), min(255, 15 * x), 128)
+    b420 = decode_jpeg(encode_jpeg(rgb, quality_q=1, subsample=True))
+    assert b420.shape == (h, w, 3)
+    # luma is full-resolution: reconstruct Y from both and compare
+    ylum = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    ylum2 = (
+        0.299 * b420[..., 0] + 0.587 * b420[..., 1] + 0.114 * b420[..., 2]
+    )
+    assert np.abs(ylum2 - ylum).max() <= 2.0
+    # chroma bounded by the 2x2 box filter + quantization
+    assert np.abs(b420.astype(int) - rgb.astype(int)).max() <= 16
+
+    b420r = decode_jpeg(
+        encode_jpeg(rgb, quality_q=1, subsample=True, restart_interval=1)
+    )
+    assert np.array_equal(b420, b420r)
