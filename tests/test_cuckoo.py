@@ -107,3 +107,24 @@ def test_shared_fingerprint_delete_keeps_other_key(spark):
     assert f.contains(a) and f.contains(b)
     assert f.delete([a]) == 1
     assert f.contains(b)  # the surviving sharer keeps its copy
+
+
+def test_sql_shard_matches_python_key_hash(spark):
+    """The repartition key (SQL conv of md5 prefix) must equal the
+    Python-side _key_hash shard for every value — a drift here silently
+    degrades build parallelism into the slow shard-merge path."""
+    import pyspark.sql.functions as F2
+
+    n_shards = 8
+    vals = spark.range(2_000).select(
+        F2.concat(F2.lit("https://x/"), F2.col("id")).alias("v")
+    )
+    sql_shard = F2.pmod(
+        F2.conv(F2.substring(F2.md5("v"), 1, 16), 16, 10).cast(
+            "decimal(38,0)"
+        ),
+        F2.lit(n_shards),
+    ).cast("int")
+    rows = vals.select("v", sql_shard.alias("s")).collect()
+    for r in rows:
+        assert r.s == CuckooFilter._key_hash(r.v) % n_shards, r.v
