@@ -52,23 +52,148 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# --- bit-exact numpy replicas of the Column-expression cosine -------------
+#
+# Spark evaluates _dot/_norm as an interpreted sequential left fold over the
+# array (HigherOrderFunction lambdas are NOT codegen'd — ~100ns/element).
+# np.cumsum along the last axis performs the IDENTICAL sequence of IEEE-754
+# double additions (a prefix sum is by definition the sequential fold), and
+# elementwise float32→float64 casts/multiplies are exact in both engines, so
+# the kernels below produce bit-identical doubles to the JVM expressions
+# while running vectorized across whole Arrow batches (guide §4.2). The
+# trailing `+ 0.0` canonicalizes an all-(-0.0) fold to +0.0 exactly like the
+# JVM's 0.0-seeded fold does.
+
+
+def _np_fold_rows(prod64: "np.ndarray") -> "np.ndarray":
+    """Sequential left-fold sum of each row of a float64 matrix."""
+    return np.cumsum(prod64, axis=1)[:, -1] + 0.0
+
+
+def _np_dots(vecs64: "np.ndarray", q64: "np.ndarray") -> "np.ndarray":
+    return _np_fold_rows(vecs64 * q64[None, :])
+
+
+def _np_norms(vecs64: "np.ndarray") -> "np.ndarray":
+    return np.sqrt(_np_fold_rows(vecs64 * vecs64))
+
+
+def _stack64(series: "pd.Series") -> "np.ndarray":
+    """(n, dim) float64 matrix from an Arrow list column (float32 exact-cast)."""
+    return np.stack(
+        [np.asarray(v, dtype=np.float64) for v in series.to_numpy()]
+    )
+
+
+# unrounded-score slack that provably covers every row the final
+# rounded-score window could rank into the top-k (round(·, 6) moves a value
+# by ≤5e-7, so a kept row is within 1e-6 of the batch's kth-best; 2e-6 = 2×)
+_ROUND_BAND = 2e-6
+
+
+def _exact_candidate_rows(
+    emb: DataFrame,
+    queries: list[tuple[int, "np.ndarray"]],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-partition exact-cosine top-k candidates against every query.
+
+    Each corpus vector is shipped across the Arrow boundary ONCE (guide
+    §4.1/§8: decide on light rows); per batch a vectorized kernel scores it
+    against all Q queries and emits only rows that can still reach the
+    global top-k (kth-best-per-batch minus _ROUND_BAND), so the downstream
+    window sees ~Q·k rows per partition instead of the full n×Q pair
+    blow-up. Scores are bit-identical to the Column-expression cosine (see
+    the cumsum note above); the caller applies the same F.round + window."""
+    q_ids = [int(q) for q, _ in queries]
+    q_mat = np.stack([v for _, v in queries])  # (Q, dim) float64
+    q_norms = _np_norms(q_mat)
+    kk = int(k)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["_id"].to_numpy()
+            vecs = _stack64(pdf["_vec"])
+            vnorms = _np_norms(vecs)
+            out_q, out_n, out_s = [], [], []
+            for qi, (qid, _) in enumerate(queries):
+                dots = _np_dots(vecs, q_mat[qi])
+                scores = dots / (q_norms[qi] * vnorms)
+                keep = ids != qid
+                s, nid = scores[keep], ids[keep]
+                if len(s) > kk:
+                    # Spark's desc ordering ranks NaN above every number —
+                    # treat NaN as +inf for the pruning rank so such rows
+                    # are never dropped before the authoritative window
+                    s_rank = np.where(np.isnan(s), np.inf, s)
+                    kth = np.partition(s_rank, len(s) - kk)[len(s) - kk]
+                    sel = s_rank >= kth - _ROUND_BAND
+                    s, nid = s[sel], nid[sel]
+                out_q.append(np.full(len(s), qid, dtype=np.int64))
+                out_n.append(nid)
+                out_s.append(s)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "_score_raw": np.concatenate(out_s),
+                }
+            )
+
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
+    return (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .repartition(n_parts)
+        .mapInPandas(
+            score, "q_id long, neighbor_id long, _score_raw double"
+        )
+    )
+
+
+def collect_query_vecs(
+    emb: DataFrame,
+    query_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, "np.ndarray"]]:
+    """Request-sized driver collect of the query vectors (float64 exact)."""
+    rows = (
+        emb.where(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    return sorted(
+        (int(r[0]), np.asarray(r[1], dtype=np.float64)) for r in rows
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_vecs: list[tuple[int, "np.ndarray"]] | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors for each query id (excluding itself).
-    The query side is tiny → broadcast; the corpus scan is one pass."""
-    q = emb.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    )
-    pairs = emb.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
-    scored = pairs.select(
+
+    One vectorized corpus pass: each partition emits only its local
+    top-k(+rounding band) candidates per query (bit-identical scores to the
+    old per-pair Column expression — see the cumsum fold note), then the
+    original F.round + row_number window picks the global top-k. Replaces a
+    broadcast-nested-loop pair blow-up (n×Q rows, 3 interpreted array folds
+    per pair, single-task on a one-row-group scan) with one repartitioned
+    scan and ~Q·k rows per partition."""
+    if query_vecs is None:
+        query_vecs = collect_query_vecs(emb, query_ids, id_col, vec_col)
+    scored = _exact_candidate_rows(emb, query_vecs, k, id_col, vec_col).select(
         "q_id",
-        F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("score"),
+        "neighbor_id",
+        F.round(F.col("_score_raw"), 6).alias("score"),
     )
     w = Window.partitionBy("q_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -116,6 +241,23 @@ def lsh_bucket_udf(dim: int, n_planes: int):
     return bucket
 
 
+def cosine_pairs_udf():
+    """Vectorized exact pair cosine: bit-identical doubles to the Column
+    expression ``cosine(a, b)`` (same sequential fold — see the cumsum
+    note), one Arrow batch at a time instead of three interpreted array
+    folds per row."""
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype=np.float64)
+        va, vb = _stack64(a), _stack64(b)
+        dots = _np_fold_rows(va * vb)
+        return pd.Series(dots / (_np_norms(va) * _np_norms(vb)))
+
+    return cos
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -139,7 +281,12 @@ def lsh_ann_topk(
             corpus_rows if corpus_rows is not None else emb.count()
         )
     bucket = lsh_bucket_udf(dim, n_planes)
-    with_b = emb.withColumn("bucket", bucket(F.col(vec_col))).cache()
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
+    with_b = (
+        emb.repartition(n_parts)
+        .withColumn("bucket", bucket(F.col(vec_col)))
+        .cache()
+    )
     q = with_b.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
@@ -162,11 +309,16 @@ def lsh_ann_topk(
     pairs = with_b.join(F.broadcast(probes), "bucket").where(
         F.col(id_col) != F.col("q_id")
     )
+    # each corpus vector lives in exactly ONE bucket and a query's probe
+    # buckets are pairwise distinct, so (q_id, neighbor_id) is already
+    # unique — no dropDuplicates shuffle needed
     scored = pairs.select(
         "q_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("score"),
-    ).dropDuplicates(["q_id", "neighbor_id"])
+        F.round(
+            cosine_pairs_udf()(F.col("q_vec"), F.col(vec_col)), 6
+        ).alias("score"),
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -184,25 +336,54 @@ def with_cluster_structure(
 ) -> DataFrame:
     """Impose deterministic cluster structure on an isotropic vector table:
     v' = (1-α)·centroid[v.id mod C] + α·v, centroids = the first C vectors.
-    Pure Column expressions (zip_with), no RNG. Harness for evaluating the
-    LSH index on data shaped like real embedding corpora — hyperplane LSH
-    is provably uninformative on isotropic noise (max pairwise cosine ≈0.4
-    on the driver's synthetic table), which says nothing about the index."""
-    cent = emb.where(F.col(id_col) < n_clusters).select(
-        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    No RNG. Harness for evaluating the LSH index on data shaped like real
+    embedding corpora — hyperplane LSH is provably uninformative on
+    isotropic noise (max pairwise cosine ≈0.4 on the driver's synthetic
+    table), which says nothing about the index.
+
+    The centroid table is request-sized (C rows), so it rides into a
+    mapInPandas closure and the mix is one vectorized numpy pass — the old
+    broadcast-join + interpreted zip_with recomputed ~dim lambda evals per
+    row in every consuming branch. Bit-identical floats: same f64 cast,
+    same (c·(1-α)) + (v·α) operation order, same f64→f32 rounding."""
+    cent_rows = (
+        emb.where(F.col(id_col) < n_clusters)
+        .select(id_col, vec_col)
+        .collect()
     )
-    mixed = F.zip_with(
-        "_cvec",
-        vec_col,
-        lambda c, v: (
-            c.cast("double") * F.lit(1.0 - alpha) + v.cast("double") * F.lit(alpha)
-        ).cast("float"),
+    if not cent_rows:  # no centroids → the old inner join produced no rows
+        return emb.where(F.lit(False)).select(id_col, vec_col)
+    cmat = np.zeros(
+        (n_clusters, len(cent_rows[0][1])), dtype=np.float64
     )
-    return (
-        emb.withColumn("_cid", F.pmod(F.col(id_col), F.lit(n_clusters)))
-        .join(F.broadcast(cent), "_cid")
-        .select(id_col, mixed.alias(vec_col))
+    for r in cent_rows:
+        cmat[int(r[0])] = np.asarray(r[1], dtype=np.float64)
+    have = {int(r[0]) for r in cent_rows}
+    w_c, w_v = 1.0 - alpha, alpha
+
+    def mix(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["_id"].to_numpy()
+            vecs = _stack64(pdf["_vec"])
+            cid = ids % n_clusters
+            mixed = (cmat[cid] * w_c + vecs * w_v).astype(np.float32)
+            yield pd.DataFrame({"_id": ids, "_vec": list(mixed)})
+
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
+    out = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .where(F.pmod(F.col("_id"), F.lit(n_clusters)).isin(sorted(have)))
+        # single-row-group inputs scan as ONE task; spread the mix (and
+        # everything cached downstream) across the executors
+        .repartition(n_parts)
+        .mapInPandas(mix, "_id long, _vec array<float>")
+        .select(
+            F.col("_id").alias(id_col), F.col("_vec").alias(vec_col)
+        )
     )
+    return out
 
 
 def lsh_recall_check(
@@ -212,12 +393,25 @@ def lsh_recall_check(
     min_recall: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Correctness signal for the approximate index, computed in-Spark:
     recall@k of ``lsh_ann_topk`` against the exact ``cosine_topk`` over the
     same table. → one row (n_queries, recall_ok) — stable columns that an
-    oracle can assert, while tests additionally bound the raw recall."""
-    approx = lsh_ann_topk(emb, query_ids, k, id_col=id_col, vec_col=vec_col)
+    oracle can assert, while tests additionally bound the raw recall.
+
+    ``dim``/``corpus_rows``, when known (e.g. from parquet footer
+    metadata), skip the first()/count() sizing jobs."""
+    approx = lsh_ann_topk(
+        emb,
+        query_ids,
+        k,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        corpus_rows=corpus_rows,
+    )
     return ann_recall_check(
         emb, query_ids, approx, k, min_recall, id_col, vec_col
     )
@@ -373,7 +567,12 @@ def ivf_ann_topk(
         centroids = kmeans_centroids(emb, n_clusters, 3, id_col, vec_col)
     spark = emb.sparkSession
     assign = _assign_udf(spark, centroids)
-    listed = emb.withColumn("_list", assign(F.col(vec_col))).cache()
+    n_parts = spark.sparkContext.defaultParallelism
+    listed = (
+        emb.repartition(n_parts)
+        .withColumn("_list", assign(F.col(vec_col)))
+        .cache()
+    )
     q = listed.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
@@ -398,11 +597,15 @@ def ivf_ann_topk(
     pairs = listed.join(F.broadcast(probes), "_list").where(
         F.col(id_col) != F.col("q_id")
     )
+    # each corpus vector has exactly ONE list and a query's probe lists are
+    # distinct (row_number over the centroid table) → pairs already unique
     scored = pairs.select(
         "q_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("score"),
-    ).dropDuplicates(["q_id", "neighbor_id"])
+        F.round(
+            cosine_pairs_udf()(F.col("q_vec"), F.col(vec_col)), 6
+        ).alias("score"),
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -456,7 +659,10 @@ def embedding_near_dup_pairs(
             corpus_rows if corpus_rows is not None else emb.count()
         )
     bucket = lsh_bucket_udf(dim, n_planes)
-    with_b = emb.withColumn("bucket", bucket(F.col(vec_col)))
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
+    with_b = emb.repartition(n_parts).withColumn(
+        "bucket", bucket(F.col(vec_col))
+    )
     a, b = with_b.alias("a"), with_b.alias("b")
     return (
         a.join(b, F.col("a.bucket") == F.col("b.bucket"))
@@ -464,9 +670,12 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias(
-                "score"
-            ),
+            F.round(
+                cosine_pairs_udf()(
+                    F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
+                ),
+                6,
+            ).alias("score"),
         )
         .where(F.col("score") >= threshold)
         .orderBy("vec_a", "vec_b")
@@ -536,11 +745,14 @@ def ivf_store_topk(
     pairs = scan.join(F.broadcast(probes), "_list").where(
         F.col(id_col) != F.col("q_id")
     )
+    # one list per stored vector + distinct probe lists → pairs unique
     scored = pairs.select(
         "q_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("score"),
-    ).dropDuplicates(["q_id", "neighbor_id"])
+        F.round(
+            cosine_pairs_udf()(F.col("q_vec"), F.col(vec_col)), 6
+        ).alias("score"),
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -645,7 +857,9 @@ def sq8_topk(
         .select(
             "q_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("score"),
+            F.round(
+                cosine_pairs_udf()(F.col("q_vec"), F.col("n_vec")), 6
+            ).alias("score"),
         )
     )
     w2 = Window.partitionBy("q_id").orderBy(
@@ -785,7 +999,9 @@ def sq8_ivf_topk(
         .select(
             "q_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("score"),
+            F.round(
+                cosine_pairs_udf()(F.col("q_vec"), F.col("n_vec")), 6
+            ).alias("score"),
         )
     )
     w2 = Window.partitionBy("q_id").orderBy(
