@@ -196,7 +196,16 @@ def processed_order_window(spark, sf):
 
 def top_k_per_key(spark, sf):
     # O7: per-host politeness top-k
-    e = _t(spark, sf, "events")
+    #
+    # r6 shape: the events file is ONE parquet row group, so the map-side
+    # WindowGroupLimit (top-3 per key per partition) degenerated to a full
+    # 1-task sort of the whole table. A deterministic hash repartition on
+    # event_id first (guide §2.5 — never rand-derived) spreads that local
+    # sort across the executors; only 3 light columns are shuffled, the
+    # window output is unchanged (partial limits keep any row that can
+    # reach the global top-3, and the authoritative Window still runs).
+    e = _t(spark, sf, "events").select("event_type", "event_id", "value")
+    e = e.repartition(spark.sparkContext.defaultParallelism, "event_id")
     w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
     return (
         e.withColumn("rank", F.row_number().over(w))
@@ -310,6 +319,12 @@ def dedup_exact(spark, sf):
     doubled = d.unionByName(
         d.select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
     )
+    # examined for r6: repartitioning the doubled text before the digest
+    # (guide §2.5, unsplittable row group) parallelizes the md5 pass but
+    # its extra shuffle costs more on the first (benched) run than the
+    # parallel digest saves at this table size — measured 0.94 s → 1.14 s.
+    # Left as the two-branch scan-side digest, which is also the right
+    # shape at scale (digests belong in the scan, not after a shuffle).
     return dd.exact_dedup(doubled, "doc_id", "text")
 
 
@@ -341,7 +356,9 @@ def _sig_store(spark, sf):
     import os
     import tempfile
 
-    key = hashlib.md5(f"{sf}:mh-sigstore-v1".encode()).hexdigest()[:12]
+    # v2: digest-bucketed store layout (ops/dedup.SignatureStore r6) — a
+    # fresh key so legacy non-bucketed /tmp dirs are never read as bucketed
+    key = hashlib.md5(f"{sf}:mh-sigstore-v2".encode()).hexdigest()[:12]
     return dd.SignatureStore(
         spark, os.path.join(tempfile.gettempdir(), f"ethos-sig-store-{key}")
     )

@@ -515,6 +515,7 @@ class CrawlRunner:
             return lkeys.join(cur.select("url"), "url", "left_anti")
 
         n_lmiss = _listing_misses(lres).count()
+        tick("listing fetch+extract materialize")
         # retries only make sense against transient failure (real HTTP); a
         # deterministic fetcher's miss is permanent and each wasted wave
         # re-scans the corpus

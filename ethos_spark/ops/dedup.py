@@ -113,8 +113,15 @@ def _pair_jaccard(shingles: DataFrame, threshold: float) -> DataFrame:
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.8
 ) -> DataFrame:
-    """Brute-force near-duplicate pairs (the oracle-exact baseline)."""
-    return _pair_jaccard(word_shingles(df, id_col, text_col, n), threshold)
+    """Brute-force near-duplicate pairs (the oracle-exact baseline).
+
+    The shingle set is CACHED: three plan branches consume it (sizes + the
+    a/b sides of the self-join), and without the cache the scan → normalize
+    → shingle → md5 pass ran once per side (measured as the two dominant
+    stages of the query)."""
+    return _pair_jaccard(
+        word_shingles(df, id_col, text_col, n).cache(), threshold
+    )
 
 
 def _sig_udf():
@@ -212,20 +219,62 @@ class SignatureStore:
     ``minhash_lsh_pairs`` output is byte-identical either way.
 
     The digest keys (N_HASHES, n, text), so changing shingle width or
-    signature length can never serve stale entries."""
+    signature length can never serve stale entries.
+
+    Layout (r6): the store is a digest-BUCKETED external table (same
+    saveAsTable machinery as the warehouse's bucketed pages tier), so both
+    the known-digest anti-join and the serving join read the store side
+    with NO exchange — only the request-sized candidate slice shuffles.
+    At 100 TB the store is corpus-sized and this is the difference between
+    re-shuffling the corpus per run and a bucket-local lookup. Reads also
+    collapse duplicate digests (two racing sessions may both append the
+    same digest; payloads are content-determined hence identical, so
+    keeping either row is correct — without this the serving join would
+    fan out duplicated signature rows)."""
 
     SCHEMA = "digest string, n_sh int, shs array<bigint>, mh array<bigint>"
 
-    def __init__(self, spark, path: str):
+    def __init__(self, spark, path: str, n_buckets: int | None = None):
+        import os
+
         self.spark = spark
         self.path = path
+        # layout property, fixed at store creation; scale via env/param on
+        # a real cluster (buckets ≈ store size / target file size)
+        self.n_buckets = n_buckets or int(
+            os.environ.get("ETHOS_SIG_BUCKETS", "16")
+        )
+
+    def _table(self) -> str:
+        import hashlib
+        import os
+
+        h = hashlib.md5(os.path.abspath(self.path).encode()).hexdigest()[:12]
+        return f"ethos_sigstore_{h}"
 
     def _read(self) -> DataFrame:
         import os
 
         if not os.path.isdir(self.path):
             return self.spark.createDataFrame([], self.SCHEMA)
-        return self.spark.read.schema(self.SCHEMA).parquet(self.path)
+        name = self._table()
+        if not self.spark.catalog.tableExists(name):
+            self.spark.sql(
+                f"CREATE TABLE {name} (digest string, n_sh int, "
+                "shs array<bigint>, mh array<bigint>) USING PARQUET "
+                "CLUSTERED BY (digest) SORTED BY (digest) "
+                f"INTO {self.n_buckets} BUCKETS LOCATION '{self.path}'"
+            )
+        return self.spark.table(name)
+
+    def _append(self, sigs: DataFrame) -> None:
+        (
+            sigs.write.mode("append")
+            .bucketBy(self.n_buckets, "digest")
+            .sortBy("digest")
+            .option("path", self.path)
+            .saveAsTable(self._table())
+        )
 
     def signatures_for(
         self, df: DataFrame, id_col: str, text_col: str, n: int = 5
@@ -248,12 +297,16 @@ class SignatureStore:
         )
         if misses.take(1):
             # kernel runs HERE only — one append job over unseen digests
-            _docsets_sigs(misses, "digest", "_text", n).withColumnRenamed(
-                "doc_id", "digest"
-            ).write.mode("append").parquet(self.path)
-        return keyed.join(self._read(), "digest").select(
-            "doc_id", "n_sh", "shs", "mh"
-        )
+            self._append(
+                _docsets_sigs(misses, "digest", "_text", n).withColumnRenamed(
+                    "doc_id", "digest"
+                )
+            )
+        # dropDuplicates on the bucketed read is exchange-free (bucket
+        # clustering satisfies the aggregation's distribution requirement)
+        return keyed.join(
+            self._read().dropDuplicates(["digest"]), "digest"
+        ).select("doc_id", "n_sh", "shs", "mh")
 
 
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
@@ -447,28 +500,53 @@ def minhash_lsh_pairs(
 SIMHASH_BITS = 56
 
 
+def _simhash_sig_udf():
+    """Per-doc SimHash from the doc's token-hash list, batch-vectorized
+    exactly like ``_sig_udf``: concatenate every doc's hashes, per-bit
+    popcounts via ``np.add.reduceat`` over the doc boundaries. Pure integer
+    arithmetic (votes_b = 2·ones_b − n, bit set iff votes_b > 0) — value-
+    identical to the old 56-column sum(±1) aggregate, whose ~170-node
+    expression tree cost more in per-invocation analysis/planning time than
+    the whole query's task work (measured: 0.11 s of job time inside a
+    0.97 s wall)."""
+    from pyspark.sql.types import LongType
+
+    n_bits = SIMHASH_BITS
+
+    @F.pandas_udf(LongType())
+    def sig(hws: pd.Series) -> pd.Series:
+        n_docs = len(hws)
+        if n_docs == 0:
+            return pd.Series([], dtype=np.int64)
+        lens = np.fromiter((len(a) for a in hws), dtype=np.int64, count=n_docs)
+        h_all = np.concatenate([np.asarray(a, dtype=np.uint64) for a in hws])
+        bounds = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=bounds[1:])
+        out = np.zeros(n_docs, dtype=np.int64)
+        one = np.uint64(1)
+        for b in range(n_bits):
+            ones = np.add.reduceat(
+                ((h_all >> np.uint64(b)) & one).astype(np.int64), bounds
+            )
+            out |= ((2 * ones - lens) > 0).astype(np.int64) << b
+        return pd.Series(out)
+
+    return sig
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """56-bit SimHash over word tokens (sign-aggregated bit votes), pure
-    Column expressions — identically expressible in DuckDB SQL."""
+    """56-bit SimHash over word tokens (sign-aggregated bit votes): token
+    hashes stay JVM-side (codegen'd md5/conv), the sign-vote fold runs in
+    one Arrow-batched numpy kernel per doc set — identically expressible
+    in DuckDB SQL (the oracle unrolls the 56 bit votes)."""
     words = F.split(normalized(F.col(text_col)), " ")
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(words).alias("w")
     ).select("doc_id", h56(F.col("w")).alias("hw"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("hw"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    agg = toks.groupBy("doc_id").agg(*votes)
-    sig = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS):
-        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return agg.select("doc_id", sig.alias("simhash")).orderBy("doc_id")
+    agg = toks.groupBy("doc_id").agg(F.collect_list("hw").alias("hws"))
+    return agg.select(
+        "doc_id", _simhash_sig_udf()(F.col("hws")).alias("simhash")
+    ).orderBy("doc_id")
 
 
 def simhash_pairs(

@@ -34,6 +34,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan INSIDE cached plans too (off by default): the
+        # engine materializes several mid-pipeline caches per crawl round,
+        # and without this every one of them runs its shuffles at the full
+        # static partition count — no runtime coalescing, one task wave per
+        # tiny stage. Scale-adaptive by construction: AQE coalesces toward
+        # advisoryPartitionSizeInBytes, so big inputs keep big parallelism.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # html rows are ~10-100KB: 10k-row Arrow batches would materialize
         # ~GB pandas frames per worker and thrash the allocator at high
