@@ -358,7 +358,9 @@ def _sig_store(spark, sf):
 
     # v2: digest-bucketed store layout (ops/dedup.SignatureStore r6) — a
     # fresh key so legacy non-bucketed /tmp dirs are never read as bucketed
-    key = hashlib.md5(f"{sf}:mh-sigstore-v2".encode()).hexdigest()[:12]
+    key = hashlib.md5(
+        f"{sf}:{_tbl_fp(sf, 'documents')}:mh-sigstore-v2".encode()
+    ).hexdigest()[:12]
     return dd.SignatureStore(
         spark, os.path.join(tempfile.gettempdir(), f"ethos-sig-store-{key}")
     )
@@ -396,6 +398,20 @@ def simhash_pairs(spark, sf):
 
 def similarity_topk(spark, sf):
     return sim.cosine_topk(_t(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=5)
+
+
+def _tbl_fp(sf, table: str) -> str:
+    """Content fingerprint of an input table for /tmp store keys: file
+    size + mtime (no data read). Regenerating a dataset at the same scale
+    factor then re-keys every derived store instead of silently serving
+    stale artifacts."""
+    import hashlib
+    import os
+
+    st = os.stat(f"{sf}/{table}.parquet")
+    return hashlib.md5(
+        f"{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
 
 
 def _emb_meta(sf) -> tuple[int, int]:
@@ -448,7 +464,9 @@ def similarity_ivf_recall(spark, sf):
         os.path.join(tempfile.gettempdir(), "ethos-centroid-store")
     )
     cents = sim.ivf_centroids(
-        emb, snapshot_key=f"{sf}:cluster-structured-v1", n_clusters=16,
+        emb,
+        snapshot_key=f"{sf}:{_tbl_fp(sf, 'embeddings')}:cluster-structured-v1",
+        n_clusters=16,
         store=store,
     )
     ann = sim.ivf_ann_topk(
@@ -472,11 +490,16 @@ def similarity_sq_recall(spark, sf):
     import tempfile
 
     base = _t(spark, sf, "embeddings")
+    # replication stride sized from the real table (footer metadata): a
+    # base table over 100k rows would make the old fixed stride collide
+    # replica vec_ids and silently corrupt the recall measurement
+    n_base, _dim = _emb_meta(sf)
+    stride = max(100_000, n_base)
     big = sim.with_cluster_structure(
         spark.range(10)
         .crossJoin(base)
         .select(
-            (F.col("vec_id") + F.col("id") * 100000).alias("vec_id"),
+            (F.col("vec_id") + F.col("id") * stride).alias("vec_id"),
             "embedding",
         )
     )
@@ -484,10 +507,11 @@ def similarity_sq_recall(spark, sf):
     store = sim.CentroidStore(
         os.path.join(tempfile.gettempdir(), "ethos-centroid-store")
     )
+    snap = f"{sf}:{_tbl_fp(sf, 'embeddings')}:sq8-ivf-10x-v1"
     cents = sim.ivf_centroids(
-        big, snapshot_key=f"{sf}:sq8-ivf-10x-v1", n_clusters=16, store=store
+        big, snapshot_key=snap, n_clusters=16, store=store
     )
-    key = hashlib.md5(f"{sf}:sq8-ivf-10x-v1".encode()).hexdigest()[:12]
+    key = hashlib.md5(snap.encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"ethos-sq8-store-{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         sim.write_sq8_ivf_store(big, path, cents)
@@ -993,7 +1017,7 @@ def _bpe_merges_for(spark, sf):
     store = bpe.MergeStore(
         os.path.join(tempfile.gettempdir(), "ethos-bpe-store")
     )
-    key = f"{sf}:docs200-v1"
+    key = f"{sf}:{_tbl_fp(sf, 'documents')}:docs200-v1"
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 200).select("text")
     return store.get_or_learn(key, d, "text", _BPE_MERGES)
 

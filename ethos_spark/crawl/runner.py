@@ -293,6 +293,14 @@ class CrawlRunner:
             self.wh.replace(
                 "robots_rules", self.spark.createDataFrame([], schemas.ROBOTS)
             )
+        if self.opt.prioritize_by_rank:
+            # the link graph is SESSION state too (priorities must derive
+            # from THIS session's discoveries, like robots_rules): without
+            # the reset a recrawl in the same warehouse would schedule from
+            # the previous session's accumulated edges
+            self.wh.replace(
+                "link_edges", self.spark.createDataFrame([], schemas.LINK_EDGES)
+            )
         self.wh.set_prop("session_id", self.session_id)
         self.wh.set_prop("round", "0")
         self.wh.set_prop("order_offset", "0")
@@ -330,15 +338,34 @@ class CrawlRunner:
         content stage: pooled, no politeness delay (robots documents must
         be readable before any page of the host is fetched)."""
         known = self.wh.read("robots_rules", schemas.ROBOTS).select("host")
-        new_hosts = (
-            hosts_df.select("host").distinct().join(known, "host", "left_anti")
-        ).cache()
+        # derive the request scheme from the host's own frontier URLs (an
+        # http-only host would otherwise always miss on https and have the
+        # miss cached as an empty rule set for the whole session);
+        # deterministic pick: min() over the observed schemes
+        if "url" in hosts_df.columns:
+            hosts = hosts_df.groupBy("host").agg(
+                F.min(
+                    F.regexp_extract(
+                        F.col("url"), r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1
+                    )
+                ).alias("_scheme")
+            )
+        else:
+            hosts = hosts_df.select("host").distinct().withColumn(
+                "_scheme", F.lit("https")
+            )
+        new_hosts = hosts.join(known, "host", "left_anti").cache()
         try:
             if not new_hosts.take(1):
                 return []
             reqs = new_hosts.select(
                 F.concat(
-                    F.lit("https://"), F.col("host"), F.lit("/robots.txt")
+                    F.when(F.col("_scheme") == "", "https").otherwise(
+                        F.col("_scheme")
+                    ),
+                    F.lit("://"),
+                    F.col("host"),
+                    F.lit("/robots.txt"),
                 ).alias("url"),
                 "host",
             )
@@ -454,6 +481,7 @@ class CrawlRunner:
                 iters=opt.rank_iters,
                 src_col="src_host",
                 dst_col="dst_host",
+                caches=round_caches,
             )
             # priority = -rank: int64 micro-unit ranks are < 2^53, so the
             # double is EXACT and the schedule stays deterministic.
@@ -575,8 +603,13 @@ class CrawlRunner:
         )
         valid_items = items.where(~F.col("date_error"))
 
-        # J1 session dedup: within batch, then against prior rounds
-        valid_items = valid_items.cache()
+        # J1 session dedup: within batch, then against prior rounds.
+        # NOT cached (r6): both consumers (the to_process chain here and
+        # the lineage select later) derive it from the CACHED lres with
+        # narrow deterministic ops costing ~0.1 s to recompute, while the
+        # columnar cache build of these wide string rows measured ~1.3 s —
+        # 6× the total recompute cost (guide §5: cache only when recompute
+        # beats the memory/build pressure).
         deduped = dedup_within_batch(
             valid_items, ["depth", "listing_host", "item_index"]
         )
@@ -871,8 +904,8 @@ class CrawlRunner:
         sitemap_lines: list = []
         robots_dim = self.robots
         if opt.fetch_robots:
-            hosts_df = lkeys.select("host").unionByName(
-                candidates.select("host")
+            hosts_df = lkeys.select("host", "url").unionByName(
+                candidates.select("host", "url")
             )
             if self.robots is not None:
                 # a static dim is AUTHORITATIVE for its hosts: never
@@ -1566,7 +1599,7 @@ class CrawlRunner:
         self.wh.commit(f"round-{r}")
 
         tick("session row + commit")
-        for c in (*round_caches, valid_items, to_process, host_round, *cleanup):
+        for c in (*round_caches, to_process, host_round, *cleanup):
             c.unpersist()
 
         # was there any work this round?

@@ -31,6 +31,7 @@ def pagerank_fixed(
     scale: int = 1_000_000_000_000,
     src_col: str = "src",
     dst_col: str = "dst",
+    caches: list | None = None,
 ) -> DataFrame:
     """PageRank over (src, dst) edges, ``iters`` exact integer rounds.
 
@@ -39,7 +40,12 @@ def pagerank_fixed(
             + Σ_{u→v} (85 * r(u)) // (100 * outdeg(u))
 
     Returns (node, rank) — int64 micro-units, deterministic and
-    engine-independent."""
+    engine-independent.
+
+    ``caches``: optional cleanup list — the internal ``nodes`` cache is
+    appended so the CALLER can unpersist it once the returned ranks are
+    materialized (a per-round crawl caller would otherwise accumulate one
+    orphaned cached DataFrame per round)."""
     e = edges.select(src_col, dst_col).where(
         F.col(src_col) != F.col(dst_col)
     ).distinct()
@@ -49,6 +55,8 @@ def pagerank_fixed(
         .distinct()
         .cache()
     )
+    if caches is not None:
+        caches.append(nodes)
     n_nodes = nodes.count()
     if n_nodes == 0:
         # empty edge set (or all self-loops): no graph → no ranks (keeps

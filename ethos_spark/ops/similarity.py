@@ -438,25 +438,55 @@ def kmeans_centroids(
     )
     cents = np.array([r[0] for r in seed_rows], dtype=np.float64)
     spark = emb.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    k = cents.shape[0]
+    # r6 shape: each Lloyd step is ONE shuffle-free job — a mapInPandas
+    # kernel emits per-partition (cluster, vector-sum, count) partials
+    # (K rows each) and the driver merges the K×n_parts light rows. The
+    # old step planned a 64-column F.sum aggregate per dimension (big
+    # expression tree, analysis-dominated) plus a shuffle, three times
+    # per training call.
+    vecs_df = emb.select(F.col(vec_col).alias("_vec")).repartition(n_parts)
     for _ in range(iters):
-        assign = _assign_udf(spark, cents)
-        sums = (
-            emb.withColumn("_c", assign(F.col(vec_col)))
-            .groupBy("_c")
-            .agg(
-                F.array(
-                    *[
-                        F.sum(F.col(vec_col)[i].cast("double"))
-                        for i in range(cents.shape[1])
-                    ]
-                ).alias("_sum"),
-                F.count("*").alias("_n"),
-            )
-            .collect()
+        cn = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
         )
+
+        def partials(batches, cn=cn, k=k):
+            sums = None
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = _stack64(pdf["_vec"])
+                if sums is None:
+                    sums = np.zeros((k, m.shape[1]), dtype=np.float64)
+                mn = m / np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+                )
+                a = np.argmax(mn @ cn.T, axis=1)
+                np.add.at(sums, a, m)
+                counts += np.bincount(a, minlength=k)
+            if sums is not None:
+                yield pd.DataFrame(
+                    {
+                        "c": np.arange(k, dtype=np.int64),
+                        "s": list(sums),
+                        "n": counts,
+                    }
+                )
+
+        rows = vecs_df.mapInPandas(
+            partials, "c long, s array<double>, n long"
+        ).collect()
+        agg_s = np.zeros_like(cents)
+        agg_n = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            agg_s[int(r["c"])] += np.asarray(r["s"], dtype=np.float64)
+            agg_n[int(r["c"])] += int(r["n"])
         new = cents.copy()
-        for row in sums:
-            new[row["_c"]] = np.asarray(row["_sum"]) / row["_n"]
+        nz = agg_n > 0
+        new[nz] = agg_s[nz] / agg_n[nz, None]
         cents = new
     return cents
 
