@@ -1298,7 +1298,16 @@ def streaming_dedup_digests(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering note (r5 VERDICT item 2): the driver's oracle gate runs the
+    # FIRST 50 entries in insertion order, and the registry holds 53 — the
+    # three entries that previously rode past the cap (outlink_extract has
+    # never had a driver-verified row) now lead, rotating three
+    # long-verified, unchanged queries (bpe_token_counts,
+    # decontaminate_docs, sitemap_extract) past the cap instead.
     return {
+        "outlink_extract": outlink_extract,
+        "multimodal_decode": multimodal_decode,
+        "stratified_sample": stratified_sample,
         "q1_pricing_summary": q1_pricing_summary,
         "publications_page": publications_page,
         "group_by_source": group_by_source,
@@ -1349,9 +1358,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": bpe_token_counts,
         "decontaminate_docs": decontaminate_docs,
         "sitemap_extract": sitemap_extract,
-        "outlink_extract": outlink_extract,
-        "multimodal_decode": multimodal_decode,
-        "stratified_sample": stratified_sample,
     }
 
 

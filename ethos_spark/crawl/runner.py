@@ -663,13 +663,11 @@ class CrawlRunner:
                 F.sum("n_items").alias("n_items"),
                 F.sum("n_excluded").alias("n_excluded"),
                 F.sum("n_filtered").alias("n_filtered"),
-                # bounded listing-error messages (CrawlErrorManager
-                # addListingErrors ← addFilteredItems reasons)
-                F.slice(
-                    F.flatten(F.collect_list("filtered_reasons")),
-                    1,
-                    MAX_ERROR_MESSAGES,
-                ).alias("reasons"),
+                # message ASSEMBLY is deferred to the error-only branch
+                # below (r6): the lean pass carries only the count that
+                # gates it, so an error-free round (the common case) never
+                # pays the collect_list/flatten/array_sort message trees
+                F.sum(F.size("filtered_reasons")).alias("n_reason_msgs"),
                 F.max("next_url").alias("next_url"),
             )
         )
@@ -679,41 +677,48 @@ class CrawlRunner:
         date_err_per_host = (
             items.where(F.col("date_error"))
             .groupBy(F.col("listing_host").alias("host"))
-            .agg(
-                F.count("*").alias("n_date_err"),
-                # quarantine messages mirror the reference throw text
-                # (ListingPageExtractor.ts:313-323 + utils/date.ts:44-47);
-                # ordered by the item's position on its page (the
-                # reference's insertion order), made deterministic by
-                # sorting (item_index, msg) structs — NOT alphabetically
-                F.slice(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct(
-                                    F.col("item_index").alias("i"),
-                                    F.concat(
-                                        F.lit('Date parsing failed for item "'),
-                                        F.coalesce("title", "url"),
-                                        F.lit(
-                                            '": Unable to parse date format: "'
-                                        ),
-                                        F.col("published_raw"),
-                                        F.lit(
-                                            '". Source format may have changed'
-                                            " and requires code update."
-                                        ),
-                                    ).alias("m"),
-                                )
-                            )
-                        ),
-                        lambda s: s["m"],
-                    ),
-                    1,
-                    MAX_ERROR_MESSAGES,
-                ).alias("date_err_msgs"),
-            )
+            .agg(F.count("*").alias("n_date_err"))
         )
+
+        def _date_err_msgs_per_host() -> DataFrame:
+            """Per-host date-quarantine messages (error-only branch).
+            Mirrors the reference throw text (ListingPageExtractor.ts:
+            313-323 + utils/date.ts:44-47); ordered by the item's position
+            on its page (the reference's insertion order), made
+            deterministic by sorting (item_index, msg) structs — NOT
+            alphabetically."""
+            return (
+                items.where(F.col("date_error"))
+                .groupBy(F.col("listing_host").alias("host"))
+                .agg(
+                    F.slice(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct(
+                                        F.col("item_index").alias("i"),
+                                        F.concat(
+                                            F.lit('Date parsing failed for item "'),
+                                            F.coalesce("title", "url"),
+                                            F.lit(
+                                                '": Unable to parse date format: "'
+                                            ),
+                                            F.col("published_raw"),
+                                            F.lit(
+                                                '". Source format may have changed'
+                                                " and requires code update."
+                                            ),
+                                        ).alias("m"),
+                                    )
+                                )
+                            ),
+                            lambda s: s["m"],
+                        ),
+                        1,
+                        MAX_ERROR_MESSAGES,
+                    ).alias("date_err_msgs"),
+                )
+            )
         # per-host round state stays DISTRIBUTED (at 10^10 scale millions of
         # hosts are active per round — never collected); the driver sees one
         # aggregate row. Stop decisions are columns (reference stop enum,
@@ -757,51 +762,7 @@ class CrawlRunner:
             F.sum(
                 F.col("stop_reason").eqNullSafe("no_next_button").cast("long")
             ).alias("stop_no_next"),
-            # cross-host assembly keeps each host's in-page message order
-            # intact (the reference's single-source session IS one host, so
-            # this reproduces its insertion order exactly) and orders hosts
-            # deterministically — sort on (host, msgs) structs, never on
-            # the flattened messages (alphabetical would break parity)
-            F.slice(
-                F.flatten(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct(
-                                    F.col("host").alias("h"),
-                                    F.col("reasons").alias("ms"),
-                                )
-                            )
-                        ),
-                        lambda s: s["ms"],
-                    )
-                ),
-                1,
-                MAX_ERROR_MESSAGES,
-            ).alias("listing_msgs"),
-            F.slice(
-                F.flatten(
-                    F.transform(
-                        F.array_sort(
-                            # null for most hosts (left join) — a null
-                            # STRUCT is skipped by collect_list, while a
-                            # null array inside flatten() nulls the result
-                            F.collect_list(
-                                F.when(
-                                    F.col("date_err_msgs").isNotNull(),
-                                    F.struct(
-                                        F.col("host").alias("h"),
-                                        F.col("date_err_msgs").alias("ms"),
-                                    ),
-                                )
-                            )
-                        ),
-                        lambda s: s["ms"],
-                    )
-                ),
-                1,
-                MAX_ERROR_MESSAGES,
-            ).alias("date_msgs"),
+            F.sum("n_reason_msgs").alias("n_reason_msgs"),
         ).collect()[0]
         tick("listing+dedup stats collect")
 
@@ -821,7 +782,83 @@ class CrawlRunner:
         # quarantines + exhausted listing fetches), first-N per session
         room = MAX_ERROR_MESSAGES - len(self.summary.listing_error_messages)
         if room > 0:
-            msgs = list(g["listing_msgs"] or []) + list(g["date_msgs"] or [])
+            msgs = []
+            if int(g["n_reason_msgs"] or 0) > 0 or n_date_err > 0:
+                # error-only branch: assemble the bounded message lists
+                # with the exact expressions the lean pass skipped.
+                # Cross-host assembly keeps each host's in-page message
+                # order intact (the reference's single-source session IS
+                # one host, so this reproduces its insertion order
+                # exactly) and orders hosts deterministically — sort on
+                # (host, msgs) structs, never on the flattened messages
+                # (alphabetical would break parity)
+                reasons_per_host = (
+                    lres.select("host", "filtered_reasons")
+                    .groupBy("host")
+                    .agg(
+                        F.slice(
+                            F.flatten(F.collect_list("filtered_reasons")),
+                            1,
+                            MAX_ERROR_MESSAGES,
+                        ).alias("reasons")
+                    )
+                )
+                mg = (
+                    reasons_per_host.join(
+                        _date_err_msgs_per_host(), "host", "left"
+                    )
+                    .agg(
+                        F.slice(
+                            F.flatten(
+                                F.transform(
+                                    F.array_sort(
+                                        F.collect_list(
+                                            F.struct(
+                                                F.col("host").alias("h"),
+                                                F.col("reasons").alias("ms"),
+                                            )
+                                        )
+                                    ),
+                                    lambda s: s["ms"],
+                                )
+                            ),
+                            1,
+                            MAX_ERROR_MESSAGES,
+                        ).alias("listing_msgs"),
+                        F.slice(
+                            F.flatten(
+                                F.transform(
+                                    F.array_sort(
+                                        # null for most hosts (left join) —
+                                        # a null STRUCT is skipped by
+                                        # collect_list, while a null array
+                                        # inside flatten() nulls the result
+                                        F.collect_list(
+                                            F.when(
+                                                F.col(
+                                                    "date_err_msgs"
+                                                ).isNotNull(),
+                                                F.struct(
+                                                    F.col("host").alias("h"),
+                                                    F.col(
+                                                        "date_err_msgs"
+                                                    ).alias("ms"),
+                                                ),
+                                            )
+                                        )
+                                    ),
+                                    lambda s: s["ms"],
+                                )
+                            ),
+                            1,
+                            MAX_ERROR_MESSAGES,
+                        ).alias("date_msgs"),
+                    )
+                    .collect()[0]
+                )
+                msgs = list(mg["listing_msgs"] or []) + list(
+                    mg["date_msgs"] or []
+                )
             if n_failed_pages:
                 msgs += [
                     f"Failed to load listing page after "
