@@ -781,8 +781,10 @@ class CrawlRunner:
         # bounded listing error MESSAGE list (filtered reasons + date
         # quarantines + exhausted listing fetches), first-N per session
         room = MAX_ERROR_MESSAGES - len(self.summary.listing_error_messages)
+        _msg_future = None
+        _msg_pool = None
+        _failed_msgs: list[str] = []
         if room > 0:
-            msgs = []
             if int(g["n_reason_msgs"] or 0) > 0 or n_date_err > 0:
                 # error-only branch: assemble the bounded message lists
                 # with the exact expressions the lean pass skipped.
@@ -803,7 +805,7 @@ class CrawlRunner:
                         ).alias("reasons")
                     )
                 )
-                mg = (
+                mg_df = (
                     reasons_per_host.join(
                         _date_err_msgs_per_host(), "host", "left"
                     )
@@ -854,17 +856,38 @@ class CrawlRunner:
                             MAX_ERROR_MESSAGES,
                         ).alias("date_msgs"),
                     )
-                    .collect()[0]
                 )
-                msgs = list(mg["listing_msgs"] or []) + list(
-                    mg["date_msgs"] or []
+                # overlap the message collect with the rest of the round
+                # (guide §2.6): the list is only read when the round's
+                # summary is persisted, so the job back-fills executors
+                # while the driver plans the content pass
+                from concurrent.futures import ThreadPoolExecutor
+
+                _msg_pool = ThreadPoolExecutor(max_workers=1)
+                _msg_future = _msg_pool.submit(
+                    lambda: mg_df.collect()[0]
                 )
             if n_failed_pages:
-                msgs += [
+                _failed_msgs = [
                     f"Failed to load listing page after "
                     f"{opt.max_fetch_attempts} attempts: {row.url}"
                     for row in _listing_misses(lres).limit(room).collect()
                 ]
+
+        def _resolve_listing_msgs() -> None:
+            """Join the overlapped message job and fill the session's
+            bounded listing-error list — same contents and order as the
+            old synchronous assembly."""
+            if room <= 0:
+                return
+            msgs: list[str] = []
+            if _msg_future is not None:
+                mg = _msg_future.result()
+                _msg_pool.shutdown(wait=False)
+                msgs = list(mg["listing_msgs"] or []) + list(
+                    mg["date_msgs"] or []
+                )
+            msgs += _failed_msgs
             self.summary.listing_error_messages.extend(msgs[:room])
         n_page_items = int(g["n_items"] or 0)
         n_new_total = int(g["n_new"] or 0)
@@ -1631,6 +1654,7 @@ class CrawlRunner:
                 + (1 if sitemap_inject is not None else 0)
             ),
         )
+        _resolve_listing_msgs()
         self.wh.set_prop("summary", self.summary.to_json())
         self._write_session_row(ended=False)
         self.wh.commit(f"round-{r}")

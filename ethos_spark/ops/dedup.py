@@ -437,21 +437,29 @@ def minhash_lsh_pairs(
     else:
         sigs = _docsets_sigs(df, id_col, text_col, n).cache()
     rows_per_band = N_HASHES // N_BANDS
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
+    # ONE compact higher-order expression instead of 32 unrolled struct
+    # columns (~200 expression nodes): the unrolled form cost more in
+    # per-invocation driver analysis than the whole query's task time
+    # (same pathology as the old 56-column simhash aggregate). Values are
+    # identical: element_at is 1-based, so element_at(mh, b·r + j + 1)
+    # ≡ mh[b·r + j], and concat_ws(":") over the same elements.
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
             F.concat_ws(
                 ":",
                 *[
-                    F.col("mh")[b * rows_per_band + r]
+                    F.element_at(
+                        F.col("mh"), b * rows_per_band + (r + 1)
+                    )
                     for r in range(rows_per_band)
                 ],
             ).alias("sig"),
-        )
-        for b in range(N_BANDS)
-    ]
+        ),
+    )
     buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+        "doc_id", F.explode(band_structs).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
     if max_bucket is None:
         a, b2 = buckets.alias("a"), buckets.alias("b")
