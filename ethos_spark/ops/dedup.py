@@ -291,9 +291,18 @@ class SignatureStore:
             ).alias("digest"),
             F.col(text_col).alias("_text"),
         )
-        known = self._read().select("digest")
-        misses = keyed.join(known, "digest", "left_anti").dropDuplicates(
-            ["digest"]
+        # ONE left join serves both the miss check and (on the steady-state
+        # hit path) the result itself — the old shape paid a separate
+        # anti-join pass over keyed+store before re-joining for the result.
+        # dropDuplicates on the bucketed read is exchange-free (bucket
+        # clustering satisfies the aggregation's distribution requirement).
+        served = keyed.join(
+            self._read().dropDuplicates(["digest"]), "digest", "left"
+        ).cache()
+        misses = (
+            served.where(F.col("n_sh").isNull())
+            .select("doc_id", "digest", "_text")
+            .dropDuplicates(["digest"])
         )
         if misses.take(1):
             # kernel runs HERE only — one append job over unseen digests
@@ -302,11 +311,11 @@ class SignatureStore:
                     "doc_id", "digest"
                 )
             )
-        # dropDuplicates on the bucketed read is exchange-free (bucket
-        # clustering satisfies the aggregation's distribution requirement)
-        return keyed.join(
-            self._read().dropDuplicates(["digest"]), "digest"
-        ).select("doc_id", "n_sh", "shs", "mh")
+            served.unpersist()
+            return keyed.join(
+                self._read().dropDuplicates(["digest"]), "digest"
+            ).select("doc_id", "n_sh", "shs", "mh")
+        return served.select("doc_id", "n_sh", "shs", "mh")
 
 
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
