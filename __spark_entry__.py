@@ -448,6 +448,9 @@ def similarity_lsh_recall(spark, sf):
     return sim.lsh_recall_check(
         emb, list(range(20)), k=10, min_recall=0.8, dim=dim,
         corpus_rows=rows,
+        # the mixing pass already spread the cache across the executors —
+        # skip the per-branch re-repartition of the cached table
+        pre_partitioned=True,
     )
 
 

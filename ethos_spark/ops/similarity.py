@@ -97,6 +97,7 @@ def _exact_candidate_rows(
     k: int,
     id_col: str,
     vec_col: str,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Per-partition exact-cosine top-k candidates against every query.
 
@@ -144,13 +145,13 @@ def _exact_candidate_rows(
                 }
             )
 
-    n_parts = emb.sparkSession.sparkContext.defaultParallelism
-    return (
-        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
-        .repartition(n_parts)
-        .mapInPandas(
-            score, "q_id long, neighbor_id long, _score_raw double"
+    src = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    if not pre_partitioned:
+        src = src.repartition(
+            emb.sparkSession.sparkContext.defaultParallelism
         )
+    return src.mapInPandas(
+        score, "q_id long, neighbor_id long, _score_raw double"
     )
 
 
@@ -178,6 +179,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vecs: list[tuple[int, "np.ndarray"]] | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors for each query id (excluding itself).
 
@@ -190,7 +192,9 @@ def cosine_topk(
     scan and ~Q·k rows per partition."""
     if query_vecs is None:
         query_vecs = collect_query_vecs(emb, query_ids, id_col, vec_col)
-    scored = _exact_candidate_rows(emb, query_vecs, k, id_col, vec_col).select(
+    scored = _exact_candidate_rows(
+        emb, query_vecs, k, id_col, vec_col, pre_partitioned
+    ).select(
         "q_id",
         "neighbor_id",
         F.round(F.col("_score_raw"), 6).alias("score"),
@@ -267,6 +271,7 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     n_planes: int | None = None,
     corpus_rows: int | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Approximate top-k: only vectors in the query's hyperplane bucket are
     scored (multi-probe: exact bucket ∪ distance-1 buckets).
@@ -281,12 +286,12 @@ def lsh_ann_topk(
             corpus_rows if corpus_rows is not None else emb.count()
         )
     bucket = lsh_bucket_udf(dim, n_planes)
-    n_parts = emb.sparkSession.sparkContext.defaultParallelism
-    with_b = (
-        emb.repartition(n_parts)
-        .withColumn("bucket", bucket(F.col(vec_col)))
-        .cache()
-    )
+    src = emb
+    if not pre_partitioned:
+        src = src.repartition(
+            emb.sparkSession.sparkContext.defaultParallelism
+        )
+    with_b = src.withColumn("bucket", bucket(F.col(vec_col))).cache()
     q = with_b.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
@@ -395,6 +400,7 @@ def lsh_recall_check(
     vec_col: str = "embedding",
     dim: int | None = None,
     corpus_rows: int | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Correctness signal for the approximate index, computed in-Spark:
     recall@k of ``lsh_ann_topk`` against the exact ``cosine_topk`` over the
@@ -411,9 +417,11 @@ def lsh_recall_check(
         id_col=id_col,
         vec_col=vec_col,
         corpus_rows=corpus_rows,
+        pre_partitioned=pre_partitioned,
     )
     return ann_recall_check(
-        emb, query_ids, approx, k, min_recall, id_col, vec_col
+        emb, query_ids, approx, k, min_recall, id_col, vec_col,
+        pre_partitioned=pre_partitioned,
     )
 
 
@@ -652,10 +660,13 @@ def ann_recall_check(
     min_recall: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Recall@k of any ANN result against the exact ``cosine_topk`` —
     one row (n_queries, recall_ok)."""
-    exact = cosine_topk(emb, query_ids, k, id_col, vec_col)
+    exact = cosine_topk(
+        emb, query_ids, k, id_col, vec_col, pre_partitioned=pre_partitioned
+    )
     hits = (
         exact.join(ann_topk, ["q_id", "neighbor_id"], "left_semi")
         .groupBy("q_id")
